@@ -1,0 +1,117 @@
+"""CLI entry point — reference flag parity + computed evaluation.
+
+Mirrors the reference's flags (appended to its vendored parser at
+/root/reference/include/args.hxx:3659-3668; consumed at
+src/main_uw_slam.cpp:74-122):
+  -d/--directory   images directory          -> --directory
+  -s/--start       start index               -> --start
+  -c/--calibration calibration XML           -> --calibration
+  -p/--depth       TUM depth directory       -> --depth
+  --TUM / --EUROC  ground-truth path + mode  -> --tum-gt / --euroc-gt
+
+Plus what the reference lacks: --trajectory-out (TUM-format export; replaces
+the hardcoded CSV at src/Visualizer.cpp:291) and computed ATE RMSE against
+ground truth (replaces eyeball-Rviz validation).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="uwslam-tpu",
+        description="TPU-native monocular SLAM (uw-slam capability surface)",
+    )
+    p.add_argument("-d", "--directory", required=True,
+                   help="directory of input images")
+    p.add_argument("-s", "--start", type=int, default=0,
+                   help="start index in the dataset")
+    p.add_argument("-c", "--calibration", required=True,
+                   help="calibration XML (OpenCV FileStorage) or JSON")
+    p.add_argument("-p", "--depth", default=None,
+                   help="TUM depth image directory (optional)")
+    p.add_argument("--tum-gt", default=None,
+                   help="TUM ground-truth file for ATE evaluation")
+    p.add_argument("--euroc-gt", default=None,
+                   help="EUROC ground-truth CSV for ATE evaluation")
+    p.add_argument("--trajectory-out", default=None,
+                   help="write estimated trajectory (TUM format)")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--levels", type=int, default=5, help="pyramid levels")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from .. import camera
+    from ..config import SlamConfig, TrackerConfig
+    from ..io import (
+        FramePrefetcher,
+        associate,
+        ate_rmse,
+        open_directory,
+        open_tum,
+        read_groundtruth_euroc,
+        read_groundtruth_tum,
+    )
+    from ..system import SlamSystem
+
+    calib = camera.load(args.calibration)
+    config = SlamConfig(
+        tracker=TrackerConfig(pyramid_levels=args.levels),
+        trajectory_csv=args.trajectory_out,
+    )
+    system = SlamSystem(calib, config)
+
+    if args.depth:
+        seq = open_tum(args.directory, args.depth, start=args.start)
+    else:
+        seq = open_directory(args.directory, start=args.start)
+
+    n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
+    t0 = time.perf_counter()
+    prefetcher = FramePrefetcher(seq)
+    for i, (img, depth) in prefetcher:
+        if i >= n:
+            break
+        state = system.process_frame(
+            img, depth,
+            timestamp=seq.timestamps[i] if seq.timestamps is not None else None,
+        )
+        if i % 50 == 0:
+            print(
+                f"frame {i}: inliers={state.tracked_inliers} "
+                f"err={state.track_error:.3f} kf={state.is_keyframe}",
+                file=sys.stderr,
+            )
+    prefetcher.close()
+    dt = time.perf_counter() - t0
+    print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
+
+    ts, poses = system.export_trajectory(args.trajectory_out)
+
+    gt_rows = None
+    if args.tum_gt:
+        gt_rows = read_groundtruth_tum(args.tum_gt)
+    elif args.euroc_gt:
+        gt_rows = read_groundtruth_euroc(args.euroc_gt)
+    if gt_rows is not None and len(gt_rows):
+        ia, ib = associate(np.asarray(ts), gt_rows[:, 0], max_dt=0.05)
+        if len(ia) >= 3:
+            est_pos = poses[ia][:, :3, 3]
+            gt_pos = gt_rows[ib][:, 1:4]
+            rmse = ate_rmse(est_pos, gt_pos)
+            print(f"ATE RMSE (Sim3-aligned): {rmse:.4f} m over {len(ia)} poses")
+        else:
+            print("WARNING: too few associated gt poses for ATE", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,74 @@
+"""Unified configuration — every constant the reference hides in globals or
+in-function literals, surfaced as named options (SURVEY.md §5 config tier).
+
+Reference origins cited per field:
+- compile-time globals PYRAMID_LEVELS/GRADIENT_THRESHOLD/BLOCK_SIZE
+  (/root/reference/src/Options.cpp:26-28)
+- in-function literals: GN eps 0.001 + max iters (src/Tracker.cpp:508,688),
+  ratio 0.65 (include/Tracker.h:80), RANSAC 3.0/0.99 (src/Tracker.cpp:150),
+  patch_size 5 (include/Tracker.h:289), keypoint reuse threshold 110
+  (src/System.cpp:208), depth factor 0.0002 (src/Tracker.cpp:1223),
+  <=200 keypoints per frame (src/Tracker.cpp:1190).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .tracking.robust import WeightKind
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    pyramid_levels: int = 5              # PYRAMID_LEVELS
+    track_levels: tuple[int, ...] = (3, 2, 1, 0)  # coarse-to-fine schedule
+    max_iterations: int = 10             # reference GN cap per level
+    step_epsilon: float = 1e-4           # reference eps=0.001 (|delta| stop)
+    num_points: int = 2048               # semi-dense top-K selection capacity
+    point_block: int = 8                 # spatial spread block (ref: 32x32 grid)
+    weight_kind: WeightKind = WeightKind.HUBER
+    mono_depth: float = 1.0              # z=1 when no depth (Tracker.cpp:1228)
+    depth_factor: float = 0.0002         # TUM 16-bit depth scaling
+    min_inliers: int = 100               # tracking-failure threshold
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    per_level: int = 256
+    detect_levels: int = 3
+    max_keypoints: int = 200             # reference cap (Tracker.cpp:1190)
+    patch_size: int = 5                  # reference patch_size_
+    ratio: float = 0.65                  # reference ratio test
+    ransac_threshold_px: float = 3.0     # reference RANSAC distance
+    ransac_hypotheses: int = 256
+    min_matches: int = 15
+    keypoint_reuse_threshold: int = 110  # reference usekeypoints rule
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    window_size: int = 10                # reference 10-frame retention
+    min_inlier_ratio: float = 0.55
+    max_translation: float = 0.12
+    max_rotation: float = 0.10
+    min_gap: int = 3
+    max_gap: int = 30
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    max_iterations: int = 20
+    huber_delta_px: float = 2.0
+    landmark_capacity: int = 4096
+    obs_capacity: int = 16384
+    run_every_n_keyframes: int = 1
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    use_features: bool = False           # config-2+ feature front-end
+    use_ba: bool = False                 # config-4+ windowed BA
+    trajectory_csv: str | None = None    # reference CSV dump equivalent

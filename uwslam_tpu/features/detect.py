@@ -1,0 +1,133 @@
+"""Feature detection: Harris/Shi-Tomasi corners, conv-based, fixed capacity.
+
+Capability replacement for the reference's GPU SURF/ORB detection
+(/root/reference/src/Tracker.cpp:187-223). SURF is patented and both are
+gather/scatter-irregular; the TPU-native design uses convolutional corner
+responses (pure XLA convs on the VPU/MXU) + max-pool NMS + top-K selection so
+every shape is static (SURVEY.md §7 layer 5: "FAST/Harris-style corner scoring
+... masked" design).
+
+Keypoints live at level-0 pixel coordinates; multi-scale detection runs the
+same operator per pyramid level and merges with per-level capacity.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    uv: jax.Array      # (K, 2) float32 level-0 pixel coords
+    score: jax.Array   # (K,) float32 corner response
+    level: jax.Array   # (K,) int32 source pyramid level
+    valid: jax.Array   # (K,) bool
+
+
+def _box_blur(x: jax.Array, radius: int = 2) -> jax.Array:
+    """Separable box filter via cumulative sums (O(1) per pixel, VPU-friendly)."""
+    k = 2 * radius + 1
+    pad = jnp.pad(x, ((radius, radius), (radius, radius)), mode="edge")
+    c = jnp.cumsum(pad, axis=0)
+    c = jnp.concatenate([c[k - 1 : k], c[k:] - c[:-k]], axis=0)
+    c = jnp.cumsum(c, axis=1)
+    c = jnp.concatenate([c[:, k - 1 : k], c[:, k:] - c[:, :-k]], axis=1)
+    return c / (k * k)
+
+
+def harris_response(
+    grad_x: jax.Array,
+    grad_y: jax.Array,
+    k: float = 0.04,
+    window_radius: int = 2,
+    shi_tomasi: bool = False,
+) -> jax.Array:
+    """Harris (det - k tr^2) or Shi-Tomasi (min eigenvalue) corner response."""
+    ixx = _box_blur(grad_x * grad_x, window_radius)
+    iyy = _box_blur(grad_y * grad_y, window_radius)
+    ixy = _box_blur(grad_x * grad_y, window_radius)
+    if shi_tomasi:
+        tr = ixx + iyy
+        disc = jnp.sqrt(jnp.clip((ixx - iyy) ** 2 + 4 * ixy * ixy, 0.0, None))
+        return 0.5 * (tr - disc)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+def nms_maxpool(response: jax.Array, radius: int = 3) -> jax.Array:
+    """Non-maximum suppression: keep pixels equal to their local max."""
+    k = 2 * radius + 1
+    m = jax.lax.reduce_window(
+        response,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(k, k),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return jnp.where(response >= m, response, -jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "border", "shi_tomasi"))
+def detect_level(
+    grad_x: jax.Array,
+    grad_y: jax.Array,
+    max_keypoints: int = 512,
+    min_response_rel: float = 0.01,
+    border: int = 8,
+    shi_tomasi: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Detect corners on one level -> (uv (K,2), score (K,), valid (K,)).
+
+    The acceptance threshold is RELATIVE to the strongest response on the
+    level (like cv::goodFeaturesToTrack's qualityLevel): absolute Harris
+    magnitudes scale with texture contrast^4 and are meaningless across
+    scenes."""
+    H, W = grad_x.shape
+    resp = harris_response(grad_x, grad_y, shi_tomasi=shi_tomasi)
+    resp = nms_maxpool(resp)
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    interior = (
+        (row >= border) & (row < H - border) & (col >= border) & (col < W - border)
+    )
+    resp = jnp.where(interior, resp, -jnp.inf)
+    flat = resp.ravel()
+    score, idx = jax.lax.top_k(flat, max_keypoints)
+    v = (idx // W).astype(jnp.float32)
+    u = (idx % W).astype(jnp.float32)
+    uv = jnp.stack([u, v], axis=-1)
+    thresh = jnp.maximum(score[0] * min_response_rel, 1e-9)
+    valid = jnp.isfinite(score) & (score > thresh)
+    return uv, jnp.where(valid, score, 0.0), valid
+
+
+@partial(jax.jit, static_argnames=("per_level", "levels"))
+def detect_multiscale(
+    grad_x_pyr: tuple[jax.Array, ...],
+    grad_y_pyr: tuple[jax.Array, ...],
+    per_level: int = 256,
+    levels: int = 3,
+    min_response_rel: float = 0.01,
+) -> Keypoints:
+    """Detect on the first `levels` pyramid levels; coordinates scaled to
+    level 0. Total capacity = per_level * levels."""
+    uvs, scores, lvls, valids = [], [], [], []
+    for l in range(levels):
+        uv, sc, va = detect_level(
+            grad_x_pyr[l], grad_y_pyr[l],
+            max_keypoints=per_level, min_response_rel=min_response_rel,
+        )
+        uvs.append(uv * (1 << l))
+        scores.append(sc)
+        lvls.append(jnp.full((per_level,), l, jnp.int32))
+        valids.append(va)
+    return Keypoints(
+        uv=jnp.concatenate(uvs),
+        score=jnp.concatenate(scores),
+        level=jnp.concatenate(lvls),
+        valid=jnp.concatenate(valids),
+    )

@@ -1,0 +1,20 @@
+"""Image pyramids, gradients, sampling."""
+from .pyramid import (
+    PYRAMID_LEVELS,
+    FramePyramid,
+    bilinear_sample,
+    build_depth_pyramid,
+    build_pyramid,
+    downsample2x,
+    scharr_gradients,
+)
+
+__all__ = [
+    "PYRAMID_LEVELS",
+    "FramePyramid",
+    "build_pyramid",
+    "build_depth_pyramid",
+    "downsample2x",
+    "scharr_gradients",
+    "bilinear_sample",
+]

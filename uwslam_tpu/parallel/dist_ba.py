@@ -1,0 +1,290 @@
+"""Distributed bundle adjustment: landmark-sharded Schur reduction over a mesh.
+
+The BASELINE north star on top of reference parity: partition keyframe-window
+landmark blocks across devices and run distributed BA with XLA collectives
+(SURVEY.md §2 parallelism table, §5 "Distributed communication backend").
+
+Design (scaling-book style):
+- mesh axis "lm": landmarks AND their observations are block-sharded; keyframe
+  poses are replicated (the window is tiny: M <= ~32).
+- each device builds its local V/W/g_l blocks and partial U/g_p;
+- one psum per LM iteration reduces {U, g_p, S_red, rhs_red, cost} over ICI —
+  the reduced (6M x 6M) camera system is then solved identically/replicated on
+  every device, and landmark back-substitution is purely local.
+
+Communication per iteration: O(M^2 * 36) floats — independent of landmark
+count, so scaling efficiency grows with problem size.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ba.schur import (
+    BAProblem,
+    BAResult,
+    _huber_weights,
+    _inv3x3,
+    _obs_jacobians,
+    _robust_cost,
+)
+from ..camera.model import PinholeCamera
+from ..lie import se3
+from ..utils.precision import HIGHEST
+
+AXIS = "lm"
+
+
+def shard_problem(problem: BAProblem, num_shards: int) -> BAProblem:
+    """Re-pack a BAProblem so landmarks and their observations are grouped by
+    shard: landmark l goes to shard l % num_shards; observations are sorted by
+    their landmark's shard and padded per-shard to equal counts.
+
+    Returns a problem whose L and O are divisible by num_shards, with
+    obs sorted so equal-size contiguous blocks hit the right shard."""
+    import numpy as np
+
+    L = problem.points.shape[0]
+    O = problem.obs_kf.shape[0]
+    pts = np.asarray(problem.points)
+    obs_kf = np.asarray(problem.obs_kf)
+    obs_lm = np.asarray(problem.obs_lm)
+    obs_uv = np.asarray(problem.obs_uv)
+    obs_valid = np.asarray(problem.obs_valid)
+
+    # Pad L to a multiple.
+    L_pad = -(-L // num_shards) * num_shards
+    pts_p = np.zeros((L_pad, 3), pts.dtype)
+    pts_p[:L] = pts
+    # Landmark permutation: block-shard by round-robin -> contiguous blocks.
+    order = np.argsort(np.arange(L_pad) % num_shards, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(L_pad)
+    pts_s = pts_p[order]
+
+    new_lm = inv[obs_lm]
+    shard_of_obs = new_lm // (L_pad // num_shards)
+
+    # Per-shard obs padding to the max shard load.
+    per = [np.where(shard_of_obs == s)[0] for s in range(num_shards)]
+    cap = max(max(len(p) for p in per), 1)
+    O_pad = cap * num_shards
+    kf2 = np.zeros(O_pad, obs_kf.dtype)
+    lm2 = np.zeros(O_pad, obs_lm.dtype)
+    uv2 = np.zeros((O_pad, 2), obs_uv.dtype)
+    va2 = np.zeros(O_pad, bool)
+    for s, idx in enumerate(per):
+        dst = slice(s * cap, s * cap + len(idx))
+        kf2[dst] = obs_kf[idx]
+        lm2[dst] = new_lm[idx]
+        uv2[dst] = obs_uv[idx]
+        va2[dst] = obs_valid[idx]
+        # padding rows point at the shard's first landmark with valid=False
+        pad = slice(s * cap + len(idx), (s + 1) * cap)
+        lm2[pad] = s * (L_pad // num_shards)
+    return BAProblem(
+        T_cw=problem.T_cw,
+        points=jnp.asarray(pts_s),
+        obs_kf=jnp.asarray(kf2),
+        obs_lm=jnp.asarray(lm2),
+        obs_uv=jnp.asarray(uv2),
+        obs_valid=jnp.asarray(va2),
+    )
+
+
+class _DistState(NamedTuple):
+    T_cw: jax.Array
+    points: jax.Array   # local landmark shard
+    lam: jax.Array
+    cost: jax.Array
+    k: jax.Array
+    done: jax.Array
+
+
+def _local_normal_eq(T_cw, pts_local, obs_kf, obs_lm_local, obs_uv, obs_valid,
+                     cam, huber_delta, M, L_local):
+    """Per-shard normal-equation blocks (obs_lm_local indexes the local shard)."""
+    p = BAProblem(
+        T_cw=T_cw, points=pts_local,
+        obs_kf=obs_kf, obs_lm=obs_lm_local,
+        obs_uv=obs_uv, obs_valid=obs_valid,
+    )
+    A, B, r, valid = _obs_jacobians(p, cam)
+    w = _huber_weights(r, valid, huber_delta)
+    wA = w[:, None, None] * A
+    wB = w[:, None, None] * B
+    AtA = jnp.einsum("oia,oib->oab", wA, A, precision=HIGHEST)
+    BtB = jnp.einsum("oia,oib->oab", wB, B, precision=HIGHEST)
+    AtB = jnp.einsum("oia,oib->oab", wA, B, precision=HIGHEST)
+    Atr = jnp.einsum("oia,oi->oa", wA, r, precision=HIGHEST)
+    Btr = jnp.einsum("oia,oi->oa", wB, r, precision=HIGHEST)
+    U = jax.ops.segment_sum(AtA, obs_kf, num_segments=M)
+    V = jax.ops.segment_sum(BtB, obs_lm_local, num_segments=L_local)
+    pair = obs_lm_local * M + obs_kf
+    W = jax.ops.segment_sum(AtB, pair, num_segments=L_local * M).reshape(
+        L_local, M, 6, 3
+    )
+    g_p = -jax.ops.segment_sum(Atr, obs_kf, num_segments=M)
+    g_l = -jax.ops.segment_sum(Btr, obs_lm_local, num_segments=L_local)
+    # Cost pieces (sum + count) for psum-mean.
+    nrm = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * nrm * nrm
+    lin = huber_delta * (nrm - 0.5 * huber_delta)
+    c = jnp.where(nrm <= huber_delta, quad, lin)
+    cost_sum = jnp.where(valid, c, 0.0).sum()
+    cost_n = valid.sum()
+    return U, V, W, g_p, g_l, cost_sum, cost_n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "mesh", "max_iters", "fix_first_pose"),
+)
+def distributed_bundle_adjust(
+    problem: BAProblem,
+    cam: PinholeCamera,
+    mesh: Mesh,
+    max_iters: int = 20,
+    huber_delta: float = 2.0,
+    init_lambda: float = 1e-3,
+    fix_first_pose: bool = True,
+) -> BAResult:
+    """LM bundle adjustment with landmarks sharded over mesh axis `lm`.
+
+    `problem` must come from shard_problem(mesh size): L and O divisible by
+    the axis size, observations grouped per shard, obs_lm indexing GLOBAL
+    (permuted) landmark ids."""
+    n = mesh.shape[AXIS]
+    M = problem.T_cw.shape[0]
+    L = problem.points.shape[0]
+    L_local = L // n
+
+    def ba_body(T_cw, pts_local, obs_kf, obs_lm, obs_uv, obs_valid):
+        # obs_lm is global (block-sharded) — make it local to this shard.
+        shard = jax.lax.axis_index(AXIS)
+        obs_lm_local = obs_lm - shard * L_local
+
+        def cost_at(T, pts_l):
+            p = BAProblem(
+                T_cw=T, points=pts_l, obs_kf=obs_kf,
+                obs_lm=obs_lm_local, obs_uv=obs_uv, obs_valid=obs_valid,
+            )
+            from ..ba.schur import reproject_residuals
+
+            r, valid = reproject_residuals(p, cam)
+            nrm = jnp.linalg.norm(r, axis=-1)
+            quad = 0.5 * nrm * nrm
+            lin = huber_delta * (nrm - 0.5 * huber_delta)
+            c = jnp.where(nrm <= huber_delta, quad, lin)
+            s = jax.lax.psum(jnp.where(valid, c, 0.0).sum(), AXIS)
+            cnt = jax.lax.psum(valid.sum(), AXIS)
+            return s / jnp.maximum(cnt, 1)
+
+        def cond(s: _DistState):
+            return (~s.done) & (s.k < max_iters)
+
+        def body(s: _DistState):
+            U_p, V, W, g_p_p, g_l, cost_s, cost_n = _local_normal_eq(
+                s.T_cw, s.points, obs_kf, obs_lm_local, obs_uv, obs_valid,
+                cam, huber_delta, M, L_local,
+            )
+            # Replicate pose-side quantities over ICI.
+            U = jax.lax.psum(U_p, AXIS)
+            g_p = jax.lax.psum(g_p_p, AXIS)
+            cost = jax.lax.psum(cost_s, AXIS) / jnp.maximum(
+                jax.lax.psum(cost_n, AXIS), 1
+            )
+
+            eye3 = jnp.eye(3, dtype=V.dtype)
+            eye6 = jnp.eye(6, dtype=U.dtype)
+            V_d = V + s.lam * eye3[None] * jnp.maximum(
+                jnp.diagonal(V, axis1=-2, axis2=-1).mean(-1)[:, None, None],
+                1e-6,
+            )
+            Vinv = _inv3x3(V_d)
+            WVinv = jnp.einsum("lmab,lbc->lmac", W, Vinv, precision=HIGHEST)
+            S_red_p = jnp.einsum("lmac,lnbc->manb", WVinv, W, precision=HIGHEST)
+            rhs_red_p = jnp.einsum("lmac,lc->ma", WVinv, g_l, precision=HIGHEST)
+            # ONE psum carries the reduced system over ICI.
+            S_red = jax.lax.psum(S_red_p, AXIS)
+            rhs_red = jax.lax.psum(rhs_red_p, AXIS)
+
+            U_d = U + s.lam * eye6[None] * jnp.maximum(
+                jnp.diagonal(U, axis1=-2, axis2=-1).mean(-1)[:, None, None],
+                1e-6,
+            )
+            S = jnp.zeros((M, 6, M, 6), U.dtype)
+            idx = jnp.arange(M)
+            S = S.at[idx, :, idx, :].set(U_d) - S_red
+            rhs = g_p - rhs_red
+            if fix_first_pose:
+                S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
+                S = S.at[0, :, 0, :].set(jnp.eye(6, dtype=S.dtype))
+                rhs = rhs.at[0].set(0.0)
+            Sd = S.reshape(M * 6, M * 6)
+            dp = jnp.linalg.solve(
+                Sd + 1e-8 * jnp.eye(M * 6, dtype=Sd.dtype), rhs.reshape(-1)
+            ).reshape(M, 6)
+            dl = jnp.einsum(
+                "lab,lb->la",
+                Vinv,
+                g_l - jnp.einsum("lmab,ma->lb", W, dp, precision=HIGHEST),
+                precision=HIGHEST,
+            )
+            T_new = jax.vmap(
+                lambda T, d: se3.normalize(se3.compose(se3.exp(d), T))
+            )(s.T_cw, dp)
+            pts_new = s.points + dl
+            new_cost = cost_at(T_new, pts_new)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost)
+            step_sq = jax.lax.psum(jnp.sum(dl * dl), AXIS) + jnp.sum(dp * dp)
+            return _DistState(
+                T_cw=jnp.where(accept, T_new, s.T_cw),
+                points=jnp.where(accept, pts_new, s.points),
+                lam=jnp.where(accept, s.lam * 0.3, s.lam * 5.0).clip(1e-9, 1e6),
+                cost=jnp.where(accept, new_cost, cost),
+                k=s.k + 1,
+                done=(accept & (jnp.sqrt(step_sq) < 1e-6)) | (s.lam > 1e5),
+            )
+
+        c0 = cost_at(T_cw, pts_local)
+        init = _DistState(
+            T_cw=T_cw,
+            points=pts_local,
+            lam=jnp.asarray(init_lambda, jnp.float32),
+            cost=c0,
+            k=jnp.asarray(0),
+            done=jnp.asarray(False),
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        return out.T_cw, out.points, out.cost, c0, out.k
+
+    shard = jax.shard_map(
+        ba_body,
+        mesh=mesh,
+        in_specs=(
+            P(),            # poses replicated
+            P(AXIS),        # landmark shard
+            P(AXIS),        # obs (grouped per shard)
+            P(AXIS),
+            P(AXIS),
+            P(AXIS),
+        ),
+        out_specs=(P(), P(AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    T_cw, points, cost, c0, k = shard(
+        problem.T_cw,
+        problem.points,
+        problem.obs_kf,
+        problem.obs_lm,
+        problem.obs_uv,
+        problem.obs_valid,
+    )
+    return BAResult(
+        T_cw=T_cw, points=points, cost=cost, initial_cost=c0, iterations=k
+    )

@@ -1,0 +1,214 @@
+"""SlamSystem — the pipeline orchestrator (reference System re-imagined).
+
+Capability parity with /root/reference/src/System.cpp + src/main_uw_slam.cpp:
+calibration load (:77-89), system init (:91-146), per-frame ingest
+(AddFrame :225-262: grayscale + rectify + ROI crop + pyramid), per-frame
+tracking (Tracking :193-223), keyframe bookkeeping (:264-278, functional
+here), and trajectory output (Visualizer CSV, src/Visualizer.cpp:386-400).
+
+TPU-first shape: the per-frame hot path is a handful of jitted programs
+(pyramid build, point selection, coarse-to-fine LM track) operating on
+device-resident arrays; host code only decodes images, makes keyframe
+policy decisions, and logs trajectory rows.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera.calibration import Calibration
+from .camera.model import (
+    PinholeCamera,
+    compute_roi,
+    optimal_new_camera,
+    remap_bilinear,
+    undistort_map,
+)
+from .config import SlamConfig
+from .image.pyramid import build_pyramid
+from .lie import se3
+from .map.keyframes import Keyframe, KeyframeDecision, KeyframeStore
+from .tracking.photometric import track
+from .tracking.points import TrackPoints, topk_gradient_points
+from .io.trajectory import write_trajectory_tum
+
+
+@dataclass
+class FrameState:
+    """Per-frame results exposed to callers (diagnostics included)."""
+
+    frame_id: int
+    timestamp: float
+    T_wc: np.ndarray          # world <- camera
+    tracked_inliers: int
+    track_error: float
+    is_keyframe: bool
+
+
+class SlamSystem:
+    """Monocular (optionally RGB-D) direct SLAM pipeline."""
+
+    def __init__(self, calibration: Calibration, config: SlamConfig | None = None):
+        self.config = config or SlamConfig()
+        self.calib = calibration
+
+        raw = calibration.raw
+        if calibration.needs_rectification:
+            rect = optimal_new_camera(
+                raw, calibration.out_width, calibration.out_height
+            )
+            self._rect_map = undistort_map(raw, rect)
+            # ROI: valid pixels of the rectified image (reference CalculateROI,
+            # src/System.cpp:148-191).
+            m = np.asarray(self._rect_map)
+            valid = (
+                (m[..., 0] >= 0) & (m[..., 0] <= raw.width - 1)
+                & (m[..., 1] >= 0) & (m[..., 1] <= raw.height - 1)
+            )
+            x0, y0, w, h = compute_roi(valid)
+            self._roi = (x0, y0, w, h)
+            self.cam = PinholeCamera(
+                fx=rect.fx, fy=rect.fy,
+                cx=rect.cx - x0, cy=rect.cy - y0,
+                width=w, height=h,
+            )
+        else:
+            self._rect_map = None
+            # Crop to a multiple of 2^(levels-1) so pyramids divide evenly
+            # (the reference requires even dims, src/System.cpp:81-89).
+            div = 1 << (self.config.tracker.pyramid_levels - 1)
+            w = raw.width - raw.width % div
+            h = raw.height - raw.height % div
+            self._roi = (0, 0, w, h)
+            self.cam = PinholeCamera(
+                fx=raw.fx, fy=raw.fy, cx=raw.cx, cy=raw.cy, width=w, height=h
+            )
+
+        self.keyframes = KeyframeStore(
+            capacity=self.config.keyframes.window_size,
+            decision=KeyframeDecision(
+                min_inlier_ratio=self.config.keyframes.min_inlier_ratio,
+                max_translation=self.config.keyframes.max_translation,
+                max_rotation=self.config.keyframes.max_rotation,
+                min_gap=self.config.keyframes.min_gap,
+                max_gap=self.config.keyframes.max_gap,
+            ),
+        )
+
+        self._prev = None           # (pyramid, points) of previous frame
+        self._T_wc = jnp.eye(4)     # current world<-camera pose
+        self._velocity = jnp.eye(4) # constant-velocity motion model T_prev<-cur
+        self._frame_id = 0
+        self.trajectory: list[FrameState] = []
+
+    # ------------------------------------------------------------------ ingest
+
+    def _ingest(self, image: np.ndarray) -> jax.Array:
+        """Grayscale f32 -> rectified + cropped device image (AddFrame)."""
+        img = jnp.asarray(image, jnp.float32)
+        if self._rect_map is not None:
+            img = remap_bilinear(img, self._rect_map)
+        x0, y0, w, h = self._roi
+        return jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+
+    def _select_points(self, pyr, depth_image):
+        cfg = self.config.tracker
+        return topk_gradient_points(
+            pyr.images[0],
+            pyr.grad_mag[0],
+            self.cam,
+            depth_image=depth_image,
+            num_points=cfg.num_points,
+            mono_z=cfg.mono_depth,
+            block=cfg.point_block,
+        )
+
+    # ----------------------------------------------------------------- process
+
+    def process_frame(
+        self,
+        image: np.ndarray,
+        depth: np.ndarray | None = None,
+        timestamp: float | None = None,
+    ) -> FrameState:
+        """Run the per-frame pipeline; returns the tracked camera pose."""
+        cfg = self.config
+        ts = float(timestamp) if timestamp is not None else float(self._frame_id)
+        img = self._ingest(image)
+        pyr = build_pyramid(img, levels=cfg.tracker.pyramid_levels)
+        depth_dev = None
+        if depth is not None:
+            ddev = jnp.asarray(depth, jnp.float32)
+            x0, y0, w, h = self._roi
+            depth_dev = jax.lax.dynamic_slice(ddev, (y0, x0), (h, w))
+
+        if self._prev is None:
+            pts = self._select_points(pyr, depth_dev)
+            state = FrameState(
+                frame_id=self._frame_id,
+                timestamp=ts,
+                T_wc=np.asarray(self._T_wc),
+                tracked_inliers=int(pts.valid.sum()),
+                track_error=0.0,
+                is_keyframe=True,
+            )
+            self.keyframes.insert(
+                Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
+            )
+            self._prev = (pyr, pts)
+        else:
+            prev_pyr, prev_pts = self._prev
+            # Constant-velocity init: T_cur<-prev ~ last relative motion.
+            T_init = self._velocity
+            out = track(
+                prev_pyr,
+                pyr,
+                prev_pts,
+                self.cam,
+                T_init=T_init,
+                levels=cfg.tracker.track_levels,
+                max_iters=cfg.tracker.max_iterations,
+                weight_kind=cfg.tracker.weight_kind,
+            )
+            T_rel = out.T                     # cur <- prev
+            self._velocity = T_rel
+            self._T_wc = se3.normalize(
+                se3.compose(self._T_wc, se3.inverse(T_rel))
+            )
+            inliers = int(out.inliers)
+            capacity = int(prev_pts.valid.sum())
+            ratio = inliers / max(capacity, 1)
+            pts = self._select_points(pyr, depth_dev)
+            is_kf = self.keyframes.should_insert(
+                self._frame_id, self._T_wc, ratio
+            )
+            if is_kf:
+                self.keyframes.insert(
+                    Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
+                )
+            state = FrameState(
+                frame_id=self._frame_id,
+                timestamp=ts,
+                T_wc=np.asarray(self._T_wc),
+                tracked_inliers=inliers,
+                track_error=float(out.error),
+                is_keyframe=is_kf,
+            )
+            self._prev = (pyr, pts)
+
+        self.trajectory.append(state)
+        self._frame_id += 1
+        return state
+
+    # ------------------------------------------------------------------ export
+
+    def export_trajectory(self, path: str | None = None):
+        path = path or self.config.trajectory_csv
+        ts = [s.timestamp for s in self.trajectory]
+        poses = np.stack([s.T_wc for s in self.trajectory])
+        if path:
+            write_trajectory_tum(path, ts, poses)
+        return np.asarray(ts), poses

@@ -1,0 +1,19 @@
+"""Direct photometric tracking over SE(3)."""
+from .photometric import TrackResult, lm_level, residuals_and_jacobian, track
+from .points import TUM_DEPTH_FACTOR, TrackPoints, patch_points, topk_gradient_points
+from .robust import WeightKind, mad_sigma, masked_median, weights
+
+__all__ = [
+    "track",
+    "lm_level",
+    "residuals_and_jacobian",
+    "TrackResult",
+    "TrackPoints",
+    "topk_gradient_points",
+    "patch_points",
+    "TUM_DEPTH_FACTOR",
+    "WeightKind",
+    "weights",
+    "mad_sigma",
+    "masked_median",
+]

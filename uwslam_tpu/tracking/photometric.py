@@ -1,0 +1,232 @@
+"""Direct photometric pose tracking over SE(3) — the framework's hot path.
+
+Re-imagines the reference's Gauss-Newton pose estimators
+(/root/reference/src/Tracker.cpp:362-1122: EstimatePose /
+EstimatePoseFeatures / FastEstimatePose) as one fused, jitted,
+coarse-to-fine Levenberg-Marquardt program:
+
+- The reference's per-point push_back loop (src/Tracker.cpp:706-764, the #1
+  hot spot) becomes a single batched warp->sample->residual->Jacobian pass;
+  the normal equations H = J^T W J, b = -J^T W r are one (6,N)x(N,6) einsum
+  that maps straight onto the MXU.
+- Its ad-hoc damping hacks (residual x50 at :563, z_factor at :738,
+  quaternion-doubling level upscaling at :580-590) are replaced by proper LM
+  trust-region damping; termination mirrors :508/:783 (error increase,
+  |delta| < eps, max iters) inside a lax.while_loop.
+- Forward-compositional update T <- T * exp(delta) (:849) with gradients
+  sampled in the *target* image at the warped location (the reference samples
+  the reference-frame gradient — a first-order approximation; documented
+  divergence, higher accuracy).
+
+Convention: T maps reference-camera coordinates to target-camera coordinates
+(T_t<-r). Twists are [v, w].
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera.model import PinholeCamera
+from ..image.pyramid import FramePyramid, bilinear_sample
+from ..lie import se3, so3
+from ..utils.precision import HIGHEST
+from .points import TrackPoints
+from .robust import WeightKind, weights
+
+
+class TrackResult(NamedTuple):
+    T: jax.Array            # (4, 4) refined pose (target <- reference)
+    error: jax.Array        # final mean robust error
+    iterations: jax.Array   # total LM iterations across levels
+    inliers: jax.Array      # valid residual count at the finest level
+    converged: jax.Array    # bool
+
+
+def residuals_and_jacobian(
+    T: jax.Array,
+    pts: TrackPoints,
+    ref_intensity: jax.Array,
+    image: jax.Array,
+    grad_x: jax.Array,
+    grad_y: jax.Array,
+    cam: PinholeCamera,
+):
+    """One fused pass: warp -> project -> sample -> residual + analytic J.
+
+    Returns r (N,), J (N, 6), valid (N,). J columns follow the [v, w] twist
+    (translation first — same layout as the reference's Jw at
+    src/Tracker.cpp:455-467).
+    """
+    p_t = se3.apply(T, pts.p3d)                       # (N, 3) target-cam points
+    uv_t = cam.project(p_t)                           # (N, 2)
+    i_t, in_img = bilinear_sample(image, uv_t)
+    gx, _ = bilinear_sample(grad_x, uv_t)
+    gy, _ = bilinear_sample(grad_y, uv_t)
+
+    r = i_t - ref_intensity                           # photometric residual
+    valid = pts.valid & in_img & (p_t[..., 2] > 1e-3)
+
+    # dI/d(uv) (1x2) . d(uv)/dp_t (2x3): image-gradient-weighted projection rows.
+    Jp = cam.project_jacobian(p_t)                    # (N, 2, 3)
+    g = gx[..., None] * Jp[..., 0, :] + gy[..., None] * Jp[..., 1, :]  # (N, 3)
+
+    # dp_t/d(delta) for right-update T*exp(delta): [R | -R hat(p)].
+    R = se3.rotation(T)
+    gR = jnp.einsum("nj,jk->nk", g, R, precision=HIGHEST)              # (N, 3)
+    # translation block: gR ; rotation block: g . (-R hat(p)) = -(gR) x-form:
+    # (-R hat(p)) columns = -R [e_i x p] => g^T(-R hat(p)) = -(gR) hat(p)...
+    # using hat(p)^T = -hat(p):  (gR) @ hat(p) gives g^T R hat(p); need minus.
+    Jw = jnp.einsum(
+        "nj,njk->nk", gR, -so3.hat(pts.p3d), precision=HIGHEST
+    )                                                                   # (N, 3)
+    J = jnp.concatenate([gR, Jw], axis=-1)            # (N, 6)
+    z = jnp.zeros_like(r)
+    return jnp.where(valid, r, z), jnp.where(valid[..., None], J, 0.0), valid
+
+
+def _solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
+    """Solve (H + lam * diag(H)) delta = b — LM with Marquardt scaling."""
+    Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+    return jnp.linalg.solve(Hd, b)
+
+
+class _LMState(NamedTuple):
+    T: jax.Array
+    lam: jax.Array
+    error: jax.Array
+    k: jax.Array
+    done: jax.Array
+    n_inlier: jax.Array
+
+
+def _mean_robust_error(r, w, valid):
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(w * r * r) / n
+
+
+@partial(jax.jit, static_argnames=("cam", "max_iters", "weight_kind"))
+def lm_level(
+    T0: jax.Array,
+    pts: TrackPoints,
+    ref_intensity: jax.Array,
+    image: jax.Array,
+    grad_x: jax.Array,
+    grad_y: jax.Array,
+    cam: PinholeCamera,
+    max_iters: int = 10,
+    eps: float = 1e-4,
+    weight_kind: WeightKind = WeightKind.HUBER,
+    init_lambda: float = 1e-4,
+):
+    """LM refinement at a single pyramid level (reference GN inner loop,
+    src/Tracker.cpp:688-852, with real damping)."""
+
+    def error_at(T):
+        r, _, valid = residuals_and_jacobian(
+            T, pts, ref_intensity, image, grad_x, grad_y, cam
+        )
+        w = weights(r, valid, weight_kind)
+        return _mean_robust_error(r, w, valid), valid
+
+    def cond(s: _LMState):
+        return (~s.done) & (s.k < max_iters)
+
+    def body(s: _LMState):
+        r, J, valid = residuals_and_jacobian(
+            s.T, pts, ref_intensity, image, grad_x, grad_y, cam
+        )
+        w = weights(r, valid, weight_kind)
+        err = _mean_robust_error(r, w, valid)
+        wJ = w[:, None] * J
+        H = jnp.einsum("ni,nj->ij", J, wJ, precision=HIGHEST)
+        b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
+        delta = _solve_damped(H, b, s.lam)
+        T_new = se3.right_update(s.T, delta)
+        err_new, _ = error_at(T_new)
+
+        accept = (err_new < err) & jnp.all(jnp.isfinite(delta))
+        T_next = jnp.where(accept, T_new, s.T)
+        lam_next = jnp.where(accept, s.lam * 0.5, s.lam * 4.0).clip(1e-7, 1e2)
+        small_step = jnp.linalg.norm(delta) < eps
+        done = (accept & small_step) | (s.lam > 50.0)
+        return _LMState(
+            T=T_next,
+            lam=lam_next,
+            error=jnp.where(accept, err_new, err),
+            k=s.k + 1,
+            done=done,
+            n_inlier=jnp.sum(valid),
+        )
+
+    err0, valid0 = error_at(T0)
+    init = _LMState(
+        T=T0,
+        lam=jnp.asarray(init_lambda, T0.dtype),
+        error=err0,
+        k=jnp.asarray(0),
+        done=jnp.asarray(False),
+        n_inlier=jnp.sum(valid0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "levels", "max_iters", "weight_kind"),
+)
+def track(
+    ref: FramePyramid,
+    tgt: FramePyramid,
+    pts: TrackPoints,
+    cam: PinholeCamera,
+    T_init: jax.Array | None = None,
+    levels: tuple[int, ...] = (3, 2, 1, 0),
+    max_iters: int = 10,
+    weight_kind: WeightKind = WeightKind.HUBER,
+) -> TrackResult:
+    """Coarse-to-fine photometric tracking: returns T (target <- reference).
+
+    `pts` are level-0 selections in the reference frame; each level resamples
+    its reference intensity at the scaled pixel coordinates (replacing the
+    reference's quaternion-doubling upscale hack, src/Tracker.cpp:580-590,
+    with the standard per-level intrinsics schedule).
+    """
+    T = jnp.eye(4, dtype=jnp.float32) if T_init is None else T_init
+    total_iters = jnp.asarray(0)
+    last = None
+    for lvl in levels:
+        scale = 1.0 / (1 << lvl)
+        cam_l = cam.scaled(lvl)
+        uv_l = pts.uv * scale
+        ref_int_l, ref_ok = bilinear_sample(ref.images[lvl], uv_l)
+        pts_l = TrackPoints(
+            uv=uv_l,
+            p3d=pts.p3d,
+            intensity=ref_int_l,
+            valid=pts.valid & ref_ok,
+        )
+        out = lm_level(
+            T,
+            pts_l,
+            ref_int_l,
+            tgt.images[lvl],
+            tgt.grad_x[lvl],
+            tgt.grad_y[lvl],
+            cam_l,
+            max_iters=max_iters,
+            weight_kind=weight_kind,
+        )
+        T = out.T
+        total_iters = total_iters + out.k
+        last = out
+    return TrackResult(
+        T=T,
+        error=last.error,
+        iterations=total_iters,
+        inliers=last.n_inlier,
+        converged=last.done | (last.error < 1e3),
+    )

@@ -1,0 +1,142 @@
+"""Candidate-point selection for direct tracking — fixed-capacity, mask-based.
+
+Re-imagines the reference's three point builders (SURVEY.md §2 #9):
+- ObtainPatchesPoints  (src/Tracker.cpp:1178-1242): patches around matched
+  keypoints -> `patch_points`
+- ObtainCandidatePoints (src/Tracker.cpp:1314-1398): gradient-threshold sparse
+  selection -> `topk_gradient_points` (top-K replaces mean+std thresholding so
+  the output shape is static for XLA)
+- ObtainAllPoints (src/Tracker.cpp:1259-1310): dense all-pixels -> dense grid
+  helpers in the tracker itself.
+
+Depth semantics follow the reference: TUM depth PNGs scaled by 1/5000
+(factor 0.0002 at src/Tracker.cpp:1223), z=1 for pure mono (:1228-1232).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..camera.model import PinholeCamera
+from ..image.pyramid import bilinear_sample
+
+TUM_DEPTH_FACTOR = 0.0002  # reference src/Tracker.cpp:1223
+
+
+class TrackPoints(NamedTuple):
+    """Fixed-capacity reference-frame points for photometric tracking.
+
+    All arrays have leading dim N (static capacity); `valid` masks real
+    entries. This is the TPU-native replacement for the reference's
+    variable-length candidatePoints_ Mats (include/System.h:84-87)."""
+
+    uv: jax.Array          # (N, 2) float32 pixel coords in the ref frame, level 0
+    p3d: jax.Array         # (N, 3) float32 camera-frame 3D points
+    intensity: jax.Array   # (N,) float32 reference intensities
+    valid: jax.Array       # (N,) bool
+
+
+def _depth_at(depth_image, uv, mono_z: float):
+    """Sample depth; fall back to mono_z where depth is missing/zero."""
+    if depth_image is None:
+        d = jnp.full(uv.shape[:-1], mono_z, dtype=jnp.float32)
+        ok = jnp.ones(uv.shape[:-1], dtype=bool)
+        return d, ok
+    d, inb = bilinear_sample(depth_image, uv)
+    d = d * TUM_DEPTH_FACTOR
+    ok = inb & (d > 1e-6)
+    return jnp.where(ok, d, mono_z), ok
+
+
+@partial(jax.jit, static_argnames=("num_points", "block"))
+def topk_gradient_points(
+    image: jax.Array,
+    grad_mag: jax.Array,
+    cam: PinholeCamera,
+    depth_image: jax.Array | None = None,
+    num_points: int = 2048,
+    mono_z: float = 1.0,
+    border: int = 4,
+    block: int = 8,
+) -> TrackPoints:
+    """Select the `num_points` highest-gradient pixels, spatially spread by
+    first taking the per-block argmax over `block`x`block` tiles (the TPU-native
+    version of the reference's 32x32 mask grid, src/Tracker.cpp:342-359, and its
+    mean+std threshold, :1324-1329 — top-k keeps shapes static).
+    """
+    H, W = grad_mag.shape
+    # Suppress the border (warp Jacobians need in-bounds neighborhoods).
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    interior = (
+        (row >= border) & (row < H - border) & (col >= border) & (col < W - border)
+    )
+    g = jnp.where(interior, grad_mag, -1.0)
+
+    # Per-block argmax -> one candidate per block, then top-K across blocks.
+    Hb, Wb = H // block, W // block
+    gb = g[: Hb * block, : Wb * block].reshape(Hb, block, Wb, block)
+    gb = gb.transpose(0, 2, 1, 3).reshape(Hb * Wb, block * block)
+    best_in_block = jnp.argmax(gb, axis=1)
+    best_val = jnp.take_along_axis(gb, best_in_block[:, None], axis=1)[:, 0]
+
+    k = min(num_points, Hb * Wb)
+    top_val, top_block = jax.lax.top_k(best_val, k)
+    by = top_block // Wb
+    bx = top_block % Wb
+    iy = best_in_block[top_block] // block
+    ix = best_in_block[top_block] % block
+    v = (by * block + iy).astype(jnp.float32)
+    u = (bx * block + ix).astype(jnp.float32)
+    uv = jnp.stack([u, v], axis=-1)
+    if k < num_points:  # pad to capacity
+        pad = num_points - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        top_val = jnp.concatenate([top_val, jnp.full((pad,), -1.0)])
+
+    depth, dok = _depth_at(depth_image, uv, mono_z)
+    p3d = cam.unproject(uv, depth)
+    intensity, iok = bilinear_sample(image, uv)
+    valid = (top_val > 0) & dok & iok
+    return TrackPoints(uv=uv, p3d=p3d, intensity=intensity, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("patch_size", "max_keypoints"))
+def patch_points(
+    image: jax.Array,
+    keypoints_uv: jax.Array,
+    keypoints_valid: jax.Array,
+    cam: PinholeCamera,
+    depth_image: jax.Array | None = None,
+    mono_z: float = 1.0,
+    patch_size: int = 5,
+    max_keypoints: int = 200,
+) -> TrackPoints:
+    """Patches of pixels around matched keypoints, the reference's
+    ObtainPatchesPoints (<=200 keypoints, patch around each;
+    src/Tracker.cpp:1190-1242 — note its start_point precedence bug makes the
+    effective patch 9x9; we implement the intended patch_size x patch_size).
+    """
+    kp = keypoints_uv[:max_keypoints]
+    kv = keypoints_valid[:max_keypoints]
+    half = patch_size // 2
+    offs = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    du, dv = jnp.meshgrid(offs, offs, indexing="xy")
+    offsets = jnp.stack([du.ravel(), dv.ravel()], axis=-1)  # (P, 2)
+
+    uv = (kp[:, None, :] + offsets[None, :, :]).reshape(-1, 2)  # (K*P, 2)
+    valid_kp = jnp.repeat(kv, offsets.shape[0])
+    H, W = image.shape
+    inb = (
+        (uv[:, 0] >= 0) & (uv[:, 0] <= W - 1) & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1)
+    )
+    depth, dok = _depth_at(depth_image, uv, mono_z)
+    p3d = cam.unproject(uv, depth)
+    intensity, iok = bilinear_sample(image, uv)
+    return TrackPoints(
+        uv=uv, p3d=p3d, intensity=intensity,
+        valid=valid_kp & inb & dok & iok,
+    )

@@ -1,0 +1,75 @@
+"""Robust weighting for photometric residuals.
+
+Capability parity with the reference's robust statistics module
+(/root/reference/src/Tracker.cpp:1571-1654): histogram median -> `median`,
+MAD = 1.4826 * median|x - med| -> `mad_sigma`, Tukey biweight b=4.6851 ->
+`tukey_weight`, identity weights -> WeightKind.NONE. Adds Huber, which the
+reference lacks but its dead Ceres scaffolding intended
+(include/Tracker.h:295-505).
+
+TPU-native: medians via jnp.percentile on the masked residual buffer (sorting
+network on device; no histograms), everything shape-static.
+"""
+from __future__ import annotations
+
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TUKEY_B = 4.6851  # reference src/Tracker.cpp:1626
+MAD_SCALE = 1.4826  # reference src/Tracker.cpp:1619
+
+
+class WeightKind(enum.Enum):
+    NONE = "none"
+    HUBER = "huber"
+    TUKEY = "tukey"
+
+
+def masked_median(x: jax.Array, valid: jax.Array) -> jax.Array:
+    """Median of x[valid] with static shapes: invalid entries are replaced by
+    +inf/-inf half-and-half so they cancel around the true median."""
+    n_valid = jnp.sum(valid)
+    # Sort with invalids pushed to the top, then index the middle of valids.
+    big = jnp.where(valid, x, jnp.inf)
+    s = jnp.sort(big)
+    lo = jnp.clip((n_valid - 1) // 2, 0, x.shape[0] - 1)
+    hi = jnp.clip(n_valid // 2, 0, x.shape[0] - 1)
+    return 0.5 * (s[lo] + s[hi])
+
+
+def mad_sigma(residuals: jax.Array, valid: jax.Array) -> jax.Array:
+    """Robust scale: 1.4826 * median(|r - median(r)|)."""
+    med = masked_median(residuals, valid)
+    return MAD_SCALE * masked_median(jnp.abs(residuals - med), valid) + 1e-6
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def weights(
+    residuals: jax.Array,
+    valid: jax.Array,
+    kind: WeightKind = WeightKind.HUBER,
+    huber_k: float = 1.345,
+    min_sigma: float = 1.0,
+) -> jax.Array:
+    """IRLS weights w(r) for the given robust kernel; invalid entries get 0.
+
+    Scales are auto-estimated per call via MAD (the reference hardcodes
+    identity weights at src/Tracker.cpp:769 with Tukey available but off).
+    min_sigma floors the scale (in intensity units out of 255) so a
+    well-aligned frame doesn't reject every residual as an outlier.
+    """
+    if kind == WeightKind.NONE:
+        return valid.astype(residuals.dtype)
+    sigma = jnp.maximum(mad_sigma(residuals, valid), min_sigma)
+    x = residuals / sigma
+    if kind == WeightKind.HUBER:
+        w = jnp.minimum(1.0, huber_k / jnp.abs(x).clip(1e-12))
+    elif kind == WeightKind.TUKEY:
+        u = x / TUKEY_B
+        w = jnp.where(jnp.abs(u) < 1.0, (1.0 - u * u) ** 2, 0.0)
+    else:
+        raise ValueError(kind)
+    return jnp.where(valid, w, 0.0)
