@@ -24,13 +24,20 @@ MIN_IMAGES = 15  # reference src/System.cpp:347 requires >= 15 images
 
 
 def _decode_image(path: str) -> np.ndarray:
-    """Decode to grayscale float32 [0, 255]. Uses the native libpng/libjpeg
-    decoders through PIL; falls back to imageio."""
+    """Decode to grayscale float32 [0, 255] (16-bit PNG keeps raw values;
+    caller applies the depth factor). Prefers the native C++ decoder
+    (native/loader.cpp via io.native); falls back to PIL."""
+    from . import native
+
+    if native.available():
+        try:
+            return native.decode(path)
+        except IOError:
+            pass  # fall through to PIL for exotic formats
     from PIL import Image
 
     with Image.open(path) as im:
         if im.mode in ("I;16", "I"):
-            # 16-bit depth PNG: keep raw values (caller applies depth factor).
             return np.asarray(im, dtype=np.float32)
         return np.asarray(im.convert("L"), dtype=np.float32)
 
