@@ -32,7 +32,7 @@ from .image.pyramid import build_pyramid
 from .lie import se3
 from .map.keyframes import Keyframe, KeyframeDecision, KeyframeStore
 from .tracking.photometric import track
-from .tracking.points import TrackPoints, topk_gradient_points
+from .tracking.points import TrackPoints, patch_points, topk_gradient_points
 from .io.trajectory import write_trajectory_tum
 
 
@@ -98,7 +98,8 @@ class SlamSystem:
             ),
         )
 
-        self._prev = None           # (pyramid, points) of previous frame
+        self._prev = None           # (pyramid, points, depth) of previous frame
+        self._prev_feats = None     # (Keypoints, descriptors) when use_features
         self._T_wc = jnp.eye(4)     # current world<-camera pose
         self._velocity = jnp.eye(4) # constant-velocity motion model T_prev<-cur
         self._frame_id = 0
@@ -126,6 +127,56 @@ class SlamSystem:
             block=cfg.point_block,
         )
 
+    def _detect_features(self, pyr):
+        """Feature front-end: multi-scale detection + descriptors
+        (reference RobustMatcher detect stage, src/Tracker.cpp:187-223)."""
+        from .features import describe, detect_multiscale
+
+        fcfg = self.config.features
+        kps = detect_multiscale(
+            pyr.grad_x, pyr.grad_y,
+            per_level=fcfg.per_level, levels=fcfg.detect_levels,
+        )
+        desc = describe(pyr.images, kps.uv, kps.level, kps.valid)
+        return kps, desc
+
+    def _feature_points(self, prev, cur, depth_image):
+        """Match previous->current features (ratio+symmetry+RANSAC) and build
+        patch points around the matched PREVIOUS keypoints — the reference's
+        active pipeline (DetectAndTrackFeatures -> ObtainPatchesPoints,
+        src/System.cpp:211-213). Returns (TrackPoints, n_matches)."""
+        import jax.random as jrandom
+
+        from .features import fundamental_ransac, match_descriptors
+
+        (kp_a, desc_a), (kp_b, desc_b) = prev, cur
+        fcfg = self.config.features
+        m = match_descriptors(
+            desc_a, desc_b, kp_a.valid, kp_b.valid, ratio=fcfg.ratio
+        )
+        uv_a = kp_a.uv[m.idx_a]
+        uv_b = kp_b.uv[m.idx_b]
+        res = fundamental_ransac(
+            uv_a, uv_b, m.valid,
+            jrandom.PRNGKey(self._frame_id),
+            threshold=fcfg.ransac_threshold_px,
+            num_hypotheses=fcfg.ransac_hypotheses,
+            min_inliers=fcfg.min_matches,
+        )
+        good = m.valid & res.inliers
+        n_matches = int(good.sum())
+        pts = patch_points(
+            self._prev[0].images[0],
+            uv_a,
+            good,
+            self.cam,
+            depth_image=depth_image,
+            mono_z=self.config.tracker.mono_depth,
+            patch_size=fcfg.patch_size,
+            max_keypoints=fcfg.max_keypoints,
+        )
+        return pts, n_matches
+
     # ----------------------------------------------------------------- process
 
     def process_frame(
@@ -145,6 +196,8 @@ class SlamSystem:
             x0, y0, w, h = self._roi
             depth_dev = jax.lax.dynamic_slice(ddev, (y0, x0), (h, w))
 
+        cur_feats = self._detect_features(pyr) if cfg.use_features else None
+
         if self._prev is None:
             pts = self._select_points(pyr, depth_dev)
             state = FrameState(
@@ -155,12 +208,26 @@ class SlamSystem:
                 track_error=0.0,
                 is_keyframe=True,
             )
-            self.keyframes.insert(
-                Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
-            )
-            self._prev = (pyr, pts)
+            kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
+            if cur_feats is not None:
+                kf = kf._replace(
+                    kp_uv=cur_feats[0].uv,
+                    kp_desc=cur_feats[1],
+                    kp_valid=cur_feats[0].valid,
+                )
+            self.keyframes.insert(kf)
+            self._prev = (pyr, pts, depth_dev)
+            self._prev_feats = cur_feats
         else:
-            prev_pyr, prev_pts = self._prev
+            prev_pyr, prev_pts, prev_depth = self._prev
+            if cfg.use_features and self._prev_feats is not None:
+                # Reference active path: match features, patch points around
+                # matched previous keypoints (src/System.cpp:211-213).
+                feat_pts, n_matches = self._feature_points(
+                    self._prev_feats, cur_feats, prev_depth
+                )
+                if n_matches >= self.config.features.min_matches:
+                    prev_pts = feat_pts
             # Constant-velocity init: T_cur<-prev ~ last relative motion.
             T_init = self._velocity
             out = track(
@@ -186,9 +253,14 @@ class SlamSystem:
                 self._frame_id, self._T_wc, ratio
             )
             if is_kf:
-                self.keyframes.insert(
-                    Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
-                )
+                kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
+                if cur_feats is not None:
+                    kf = kf._replace(
+                        kp_uv=cur_feats[0].uv,
+                        kp_desc=cur_feats[1],
+                        kp_valid=cur_feats[0].valid,
+                    )
+                self.keyframes.insert(kf)
             state = FrameState(
                 frame_id=self._frame_id,
                 timestamp=ts,
@@ -197,7 +269,8 @@ class SlamSystem:
                 track_error=float(out.error),
                 is_keyframe=is_kf,
             )
-            self._prev = (pyr, pts)
+            self._prev = (pyr, pts, depth_dev)
+            self._prev_feats = cur_feats
 
         self.trajectory.append(state)
         self._frame_id += 1

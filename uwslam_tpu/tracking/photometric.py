@@ -30,11 +30,19 @@ import jax
 import jax.numpy as jnp
 
 from ..camera.model import PinholeCamera
-from ..image.pyramid import FramePyramid, bilinear_sample
+from ..image.pyramid import FramePyramid, bilinear_sample, bilinear_sample_dense
 from ..lie import se3, so3
 from ..utils.precision import HIGHEST
 from .points import TrackPoints
 from .robust import WeightKind, weights
+
+
+def _use_mxu_sampling() -> bool:
+    """Dense (matmul) sampling beats scattered gathers on TPU; on CPU the
+    O(N*H*W) contraction would be disastrous, so keep the gather there."""
+    import jax as _jax
+
+    return _jax.default_backend() != "cpu"
 
 
 class TrackResult(NamedTuple):
@@ -62,9 +70,14 @@ def residuals_and_jacobian(
     """
     p_t = se3.apply(T, pts.p3d)                       # (N, 3) target-cam points
     uv_t = cam.project(p_t)                           # (N, 2)
-    i_t, in_img = bilinear_sample(image, uv_t)
-    gx, _ = bilinear_sample(grad_x, uv_t)
-    gy, _ = bilinear_sample(grad_y, uv_t)
+    if _use_mxu_sampling():
+        stacked = jnp.stack([image, grad_x, grad_y])
+        vals, in_img = bilinear_sample_dense(stacked, uv_t)
+        i_t, gx, gy = vals[0], vals[1], vals[2]
+    else:
+        i_t, in_img = bilinear_sample(image, uv_t)
+        gx, _ = bilinear_sample(grad_x, uv_t)
+        gy, _ = bilinear_sample(grad_y, uv_t)
 
     r = i_t - ref_intensity                           # photometric residual
     valid = pts.valid & in_img & (p_t[..., 2] > 1e-3)
@@ -94,9 +107,12 @@ def _solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
 
 
 class _LMState(NamedTuple):
-    T: jax.Array
+    T: jax.Array          # candidate pose to evaluate next
+    T_best: jax.Array     # best accepted pose so far
+    r_best: jax.Array     # residuals at T_best
+    J_best: jax.Array     # Jacobian at T_best
+    error: jax.Array      # error at T_best
     lam: jax.Array
-    error: jax.Array
     k: jax.Array
     done: jax.Array
     n_inlier: jax.Array
@@ -122,56 +138,83 @@ def lm_level(
     init_lambda: float = 1e-4,
 ):
     """LM refinement at a single pyramid level (reference GN inner loop,
-    src/Tracker.cpp:688-852, with real damping)."""
+    src/Tracker.cpp:688-852, with real damping).
 
-    def error_at(T):
-        r, _, valid = residuals_and_jacobian(
-            T, pts, ref_intensity, image, grad_x, grad_y, cam
-        )
-        w = weights(r, valid, weight_kind)
-        return _mean_robust_error(r, w, valid), valid
+    Sampling-pass economy vs textbook LM (the dense-sampling matmuls dominate
+    the budget): deferred-evaluation stepping — each iteration does ONE
+    residual+Jacobian pass (at the current candidate). Acceptance of the
+    *previous* step is decided by comparing this error against the best so
+    far; on rejection the step is re-solved from the carried best-state
+    (r, J) with a larger lambda. Halves the hot-loop sampling work. The
+    robust scale sigma is re-estimated (MAD) from each pass's residuals —
+    a 2k-element sort, negligible next to the sampling matmuls.
+    """
+    r0, J0, valid0 = residuals_and_jacobian(
+        T0, pts, ref_intensity, image, grad_x, grad_y, cam
+    )
+    from .robust import mad_sigma
+
+    sigma0 = mad_sigma(r0, valid0)
+    w0 = weights(r0, valid0, weight_kind, sigma=sigma0)
+    err0 = _mean_robust_error(r0, w0, valid0)
+
+    def solve_from(r, J, lam):
+        w = weights(r, valid0, weight_kind, sigma=mad_sigma(r, valid0))
+        wJ = w[:, None] * J
+        H = jnp.einsum("ni,nj->ij", J, wJ, precision=HIGHEST)
+        b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
+        return _solve_damped(H, b, lam)
 
     def cond(s: _LMState):
         return (~s.done) & (s.k < max_iters)
 
     def body(s: _LMState):
+        # One pass: evaluate the current candidate.
         r, J, valid = residuals_and_jacobian(
             s.T, pts, ref_intensity, image, grad_x, grad_y, cam
         )
-        w = weights(r, valid, weight_kind)
+        w = weights(r, valid, weight_kind, sigma=sigma0)
         err = _mean_robust_error(r, w, valid)
-        wJ = w[:, None] * J
-        H = jnp.einsum("ni,nj->ij", J, wJ, precision=HIGHEST)
-        b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
-        delta = _solve_damped(H, b, s.lam)
-        T_new = se3.right_update(s.T, delta)
-        err_new, _ = error_at(T_new)
 
-        accept = (err_new < err) & jnp.all(jnp.isfinite(delta))
-        T_next = jnp.where(accept, T_new, s.T)
-        lam_next = jnp.where(accept, s.lam * 0.5, s.lam * 4.0).clip(1e-7, 1e2)
+        accept = (err < s.error) & jnp.isfinite(err)
+        T_base = jnp.where(accept, s.T, s.T_best)
+        r_base = jnp.where(accept, r, s.r_best)
+        J_base = jnp.where(accept, J, s.J_best)
+        err_base = jnp.where(accept, err, s.error)
+        lam_next = jnp.where(accept, s.lam * 0.5, s.lam * 4.0).clip(1e-7, 1e3)
+
+        delta = solve_from(r_base, J_base, lam_next)
+        ok = jnp.all(jnp.isfinite(delta))
+        T_next = jnp.where(ok, se3.right_update(T_base, delta), T_base)
         small_step = jnp.linalg.norm(delta) < eps
-        done = (accept & small_step) | (s.lam > 50.0)
+        done = (accept & small_step) | (lam_next > 500.0) | ~ok
         return _LMState(
             T=T_next,
+            T_best=T_base,
+            r_best=r_base,
+            J_best=J_base,
+            error=err_base,
             lam=lam_next,
-            error=jnp.where(accept, err_new, err),
             k=s.k + 1,
             done=done,
             n_inlier=jnp.sum(valid),
         )
 
-    err0, valid0 = error_at(T0)
+    delta0 = solve_from(r0, J0, jnp.asarray(init_lambda, T0.dtype))
     init = _LMState(
-        T=T0,
-        lam=jnp.asarray(init_lambda, T0.dtype),
+        T=se3.right_update(T0, delta0),
+        T_best=T0,
+        r_best=r0,
+        J_best=J0,
         error=err0,
+        lam=jnp.asarray(init_lambda, T0.dtype),
         k=jnp.asarray(0),
         done=jnp.asarray(False),
         n_inlier=jnp.sum(valid0),
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out
+    # The final candidate s.T may be unevaluated; report the best ACCEPTED.
+    return out._replace(T=out.T_best)
 
 
 @partial(

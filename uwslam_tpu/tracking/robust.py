@@ -53,17 +53,22 @@ def weights(
     kind: WeightKind = WeightKind.HUBER,
     huber_k: float = 1.345,
     min_sigma: float = 1.0,
+    sigma: jax.Array | None = None,
 ) -> jax.Array:
     """IRLS weights w(r) for the given robust kernel; invalid entries get 0.
 
-    Scales are auto-estimated per call via MAD (the reference hardcodes
-    identity weights at src/Tracker.cpp:769 with Tukey available but off).
-    min_sigma floors the scale (in intensity units out of 255) so a
-    well-aligned frame doesn't reject every residual as an outlier.
+    Scales are auto-estimated via MAD when `sigma` is not given (the reference
+    hardcodes identity weights at src/Tracker.cpp:769 with Tukey available but
+    off). Pass a precomputed `sigma` to skip the two on-device sorts — the LM
+    loop estimates it once per level, which is standard IRLS practice and
+    saves ~20 sorts per level. min_sigma floors the scale (intensity units
+    out of 255) so a well-aligned frame doesn't reject every residual.
     """
     if kind == WeightKind.NONE:
         return valid.astype(residuals.dtype)
-    sigma = jnp.maximum(mad_sigma(residuals, valid), min_sigma)
+    if sigma is None:
+        sigma = mad_sigma(residuals, valid)
+    sigma = jnp.maximum(sigma, min_sigma)
     x = residuals / sigma
     if kind == WeightKind.HUBER:
         w = jnp.minimum(1.0, huber_k / jnp.abs(x).clip(1e-12))

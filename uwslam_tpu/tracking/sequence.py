@@ -1,0 +1,97 @@
+"""Batched sequence tracking: the whole frame loop as ONE device program.
+
+The reference processes frames in a strictly sequential host loop
+(/root/reference/src/main_uw_slam.cpp:139-151), paying a host<->device round
+trip per frame. TPU-native design (SURVEY.md §2 parallelism table:
+"batched/pipelined frame processing"): frames are stacked on device and the
+per-frame pipeline — pyramid build, gradient maps, top-K point selection,
+coarse-to-fine LM tracking — runs under lax.scan, so a whole chunk of N
+frames costs one dispatch. Latency-sensitive callers keep the per-frame path
+(tracking.track); throughput callers (offline odometry, benchmarking,
+dataset evaluation) use this.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..camera.model import PinholeCamera
+from ..image.pyramid import build_pyramid
+from .photometric import track
+from .points import topk_gradient_points
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "levels", "track_levels", "num_points", "max_iters", "block"
+    ),
+)
+def track_sequence(
+    frames: jax.Array,
+    cam: PinholeCamera,
+    depth_frames: jax.Array | None = None,
+    mono_z: float = 1.0,
+    levels: int = 5,
+    track_levels: tuple[int, ...] = (3, 2, 1, 0),
+    num_points: int = 2048,
+    max_iters: int = 10,
+    block: int = 8,
+):
+    """Track a stacked sequence (N, H, W) -> relative poses (N-1, 4, 4).
+
+    Each output T[i] maps frame-i coordinates to frame-i+1 coordinates.
+    Constant-velocity initialization threads through the scan carry.
+    Returns (T_rel (N-1,4,4), inliers (N-1,), errors (N-1,)).
+    """
+
+    def ingest(img, depth_img):
+        pyr = build_pyramid(img, levels=levels)
+        pts = topk_gradient_points(
+            pyr.images[0], pyr.grad_mag[0], cam,
+            depth_image=depth_img, num_points=num_points,
+            mono_z=mono_z, block=block,
+        )
+        return pyr, pts
+
+    d0 = depth_frames[0] if depth_frames is not None else None
+    pyr0, pts0 = ingest(frames[0], d0)
+
+    def step(carry, inputs):
+        prev_pyr, prev_pts, T_init = carry
+        if depth_frames is not None:
+            img, depth = inputs
+        else:
+            img, depth = inputs, None
+        cur_pyr, cur_pts = ingest(img, depth)
+        out = track(
+            prev_pyr, cur_pyr, prev_pts, cam,
+            T_init=T_init, levels=track_levels, max_iters=max_iters,
+        )
+        return (cur_pyr, cur_pts, out.T), (out.T, out.inliers, out.error)
+
+    xs = (
+        (frames[1:], depth_frames[1:])
+        if depth_frames is not None
+        else frames[1:]
+    )
+    _, (T_rel, inliers, errors) = jax.lax.scan(
+        step, (pyr0, pts0, jnp.eye(4, dtype=jnp.float32)), xs
+    )
+    return T_rel, inliers, errors
+
+
+def compose_trajectory(T_rel: jax.Array) -> jax.Array:
+    """Relative poses (N-1, 4, 4) (cur <- prev) -> world poses (N, 4, 4)
+    T_wc with frame 0 at identity, via an associative scan (log-depth compose).
+    """
+    from ..lie import se3
+    from ..utils.precision import mm
+
+    # T_wc[i+1] = T_wc[i] @ inv(T_rel[i]).
+    steps = se3.inverse(T_rel)
+    chain = jax.lax.associative_scan(mm, steps)
+    eye = jnp.eye(4, dtype=T_rel.dtype)[None]
+    return jnp.concatenate([eye, chain], axis=0)
