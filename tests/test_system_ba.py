@@ -1,0 +1,84 @@
+"""SlamSystem with feature front-end + windowed BA (BASELINE configs 2 & 4)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwslam_tpu.camera import PinholeCamera
+from uwslam_tpu.camera.calibration import Calibration
+from uwslam_tpu.config import (
+    BAConfig,
+    KeyframeConfig,
+    SlamConfig,
+    TrackerConfig,
+)
+from uwslam_tpu.io import ate_rmse
+from uwslam_tpu.lie import se3
+from uwslam_tpu.system import SlamSystem
+from uwslam_tpu.utils.synthetic import render_plane_view
+
+CAM = PinholeCamera(fx=120.0, fy=120.0, cx=79.5, cy=59.5, width=160, height=120)
+
+
+def make_sequence(n=10):
+    frames, gts = [], []
+    for i in range(n):
+        xi = jnp.asarray(
+            [0.03 * i, 0.01 * i, 0.005 * i, 0.002 * i, -0.002 * i, 0.004 * i],
+            jnp.float32,
+        )
+        T_cw = se3.exp(xi)
+        frames.append(np.asarray(render_plane_view(CAM, T_cw, 2.0, detail=2.0)))
+        gts.append(np.asarray(se3.inverse(T_cw)))
+    return frames, np.stack(gts)
+
+
+def run_system(config, frames):
+    calib = Calibration(raw=CAM, out_width=160, out_height=120)
+    system = SlamSystem(calib, config)
+    for i, f in enumerate(frames):
+        system.process_frame(f, timestamp=float(i))
+    return system
+
+
+BASE_TRACKER = TrackerConfig(
+    pyramid_levels=4, track_levels=(2, 1, 0),
+    num_points=512, point_block=4, mono_depth=2.0,
+)
+# Aggressive keyframing so short synthetic sequences exercise the window.
+KF = KeyframeConfig(min_gap=1, max_translation=0.02, max_rotation=0.02)
+
+
+class TestFeatureFrontend:
+    def test_config2_feature_slam(self):
+        frames, gt = make_sequence(8)
+        config = SlamConfig(
+            tracker=BASE_TRACKER, keyframes=KF, use_features=True
+        )
+        system = run_system(config, frames)
+        ts, poses = system.export_trajectory()
+        rmse = ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
+        assert rmse < 0.02, f"ATE {rmse}"
+        assert sum(s.is_keyframe for s in system.trajectory) >= 3
+
+
+class TestWindowBA:
+    def test_config4_windowed_ba(self):
+        frames, gt = make_sequence(10)
+        config = SlamConfig(
+            tracker=BASE_TRACKER,
+            keyframes=KF,
+            ba=BAConfig(run_every_n_keyframes=2, max_iterations=10),
+            use_features=True,
+            use_ba=True,
+        )
+        system = run_system(config, frames)
+        ts, poses = system.export_trajectory()
+        rmse = ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
+        assert np.all(np.isfinite(poses))
+        assert rmse < 0.02, f"ATE {rmse}"
+        # BA actually ran: track graph populated.
+        assert len(system._tracks.tracks) > 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

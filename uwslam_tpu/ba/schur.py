@@ -160,12 +160,16 @@ def build_normal_equations(
 
 
 def solve_schur(
-    U, V, W, g_p, g_l, lam, fix_first_pose: bool = True
+    U, V, W, g_p, g_l, lam, fix_first_pose: bool = True,
+    num_fixed_poses: int = 1,
 ):
     """Schur-complement solve -> (delta_poses (M,6), delta_points (L,3)).
 
     S = U + lam*I - W V_damped^-1 W^T ; S dp = g_p - W V^-1 g_l ;
-    dl = V^-1 (g_l - W^T dp)."""
+    dl = V^-1 (g_l - W^T dp).
+
+    num_fixed_poses: gauge anchors. 1 fixes the 6-dof frame gauge; monocular
+    windows should use 2 so the free scale direction is anchored too."""
     M = U.shape[0]
     L = V.shape[0]
     eye3 = jnp.eye(3, dtype=V.dtype)
@@ -188,10 +192,11 @@ def solve_schur(
     rhs = g_p - jnp.einsum("lmac,lc->ma", WVinv, g_l, precision=HIGHEST)
 
     if fix_first_pose:
-        # Gauge fixing: zero out row/col of pose 0, identity on its diagonal.
-        S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
-        S = S.at[0, :, 0, :].set(jnp.eye(6, dtype=S.dtype))
-        rhs = rhs.at[0].set(0.0)
+        # Gauge fixing: zero rows/cols of the anchored poses, identity diag.
+        for a in range(max(1, num_fixed_poses)):
+            S = S.at[a].set(0.0).at[:, :, a].set(0.0)
+            S = S.at[a, :, a, :].set(jnp.eye(6, dtype=S.dtype))
+            rhs = rhs.at[a].set(0.0)
 
     Sd = S.reshape(M * 6, M * 6)
     dp = jnp.linalg.solve(
@@ -218,7 +223,10 @@ class _BAState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "max_iters", "fix_first_pose", "trim_px"),
+    static_argnames=(
+        "cam", "max_iters", "fix_first_pose", "trim_px", "num_fixed_poses",
+        "pose_prior_weight",
+    ),
 )
 def bundle_adjust(
     problem: BAProblem,
@@ -228,17 +236,46 @@ def bundle_adjust(
     init_lambda: float = 1e-3,
     fix_first_pose: bool = True,
     trim_px: float | None = 10.0,
+    num_fixed_poses: int = 1,
+    pose_prior_weight: float = 0.0,
 ) -> BAResult:
     """LM bundle adjustment over the window. Returns refined poses/points.
 
     If trim_px is set, observations whose residual norm exceeds it after the
     first LM convergence are invalidated and a second LM pass refines without
-    them (gross-outlier rejection beyond Huber's linear influence)."""
+    them (gross-outlier rejection beyond Huber's linear influence).
+
+    pose_prior_weight > 0 adds a diagonal prior anchoring each pose to its
+    INITIAL value (residual log(T_cur T_init^-1), J = I for left updates).
+    Use when the initial odometry is trusted: it pins the weakly-constrained
+    directions of short planar/small-baseline windows without blocking
+    well-observed corrections."""
+
+
+    T_init_prior = problem.T_cw
+
+    def _apply_pose_prior(U, g_p, T_cur):
+        if pose_prior_weight <= 0.0:
+            return U, g_p
+        r_prior = jax.vmap(
+            lambda Tc, Ti: se3.log(se3.compose(Tc, se3.inverse(Ti)))
+        )(T_cur, T_init_prior)
+        U = U + pose_prior_weight * jnp.eye(6, dtype=U.dtype)[None]
+        g_p = g_p - pose_prior_weight * r_prior
+        return U, g_p
 
     def cost_at(T_cw, points):
         p = problem._replace(T_cw=T_cw, points=points)
         r, valid = reproject_residuals(p, cam)
-        return _robust_cost(r, valid, huber_delta)
+        c = _robust_cost(r, valid, huber_delta)
+        if pose_prior_weight > 0.0:
+            r_prior = jax.vmap(
+                lambda Tc, Ti: se3.log(se3.compose(Tc, se3.inverse(Ti)))
+            )(T_cw, T_init_prior)
+            c = c + 0.5 * pose_prior_weight * jnp.mean(
+                jnp.sum(r_prior * r_prior, axis=-1)
+            )
+        return c
 
     def cond(s: _BAState):
         return (~s.done) & (s.k < max_iters)
@@ -246,7 +283,11 @@ def bundle_adjust(
     def body(s: _BAState):
         p = problem._replace(T_cw=s.T_cw, points=s.points)
         U, V, W, g_p, g_l, cost = build_normal_equations(p, cam, huber_delta)
-        dp, dl = solve_schur(U, V, W, g_p, g_l, s.lam, fix_first_pose)
+        U, g_p = _apply_pose_prior(U, g_p, s.T_cw)
+        cost = cost_at(s.T_cw, s.points)
+        dp, dl = solve_schur(
+            U, V, W, g_p, g_l, s.lam, fix_first_pose, num_fixed_poses
+        )
         T_new = jax.vmap(lambda T, d: se3.normalize(se3.compose(se3.exp(d), T)))(
             s.T_cw, dp
         )
@@ -293,7 +334,11 @@ def bundle_adjust(
             U, V, W, g_p, g_l, cost = build_normal_equations(
                 p, cam, huber_delta
             )
-            dp, dl = solve_schur(U, V, W, g_p, g_l, s.lam, fix_first_pose)
+            U, g_p = _apply_pose_prior(U, g_p, s.T_cw)
+            cost = cost_at2(s.T_cw, s.points)
+            dp, dl = solve_schur(
+                U, V, W, g_p, g_l, s.lam, fix_first_pose, num_fixed_poses
+            )
             T_new = jax.vmap(
                 lambda T, d: se3.normalize(se3.compose(se3.exp(d), T))
             )(s.T_cw, dp)

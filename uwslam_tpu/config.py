@@ -58,6 +58,9 @@ class KeyframeConfig:
 class BAConfig:
     max_iterations: int = 20
     huber_delta_px: float = 2.0
+    # Information weight anchoring window poses to tracked odometry
+    # (1/sigma^2 in (units, rad)^-2 summed-residual scale; 0 disables).
+    pose_prior_weight: float = 1e5
     landmark_capacity: int = 4096
     obs_capacity: int = 16384
     run_every_n_keyframes: int = 1

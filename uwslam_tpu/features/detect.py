@@ -87,8 +87,8 @@ def detect_level(
     magnitudes scale with texture contrast^4 and are meaningless across
     scenes."""
     H, W = grad_x.shape
-    resp = harris_response(grad_x, grad_y, shi_tomasi=shi_tomasi)
-    resp = nms_maxpool(resp)
+    raw_resp = harris_response(grad_x, grad_y, shi_tomasi=shi_tomasi)
+    resp = nms_maxpool(raw_resp)
     row = jnp.arange(H)[:, None]
     col = jnp.arange(W)[None, :]
     interior = (
@@ -97,9 +97,29 @@ def detect_level(
     resp = jnp.where(interior, resp, -jnp.inf)
     flat = resp.ravel()
     score, idx = jax.lax.top_k(flat, max_keypoints)
-    v = (idx // W).astype(jnp.float32)
-    u = (idx % W).astype(jnp.float32)
-    uv = jnp.stack([u, v], axis=-1)
+    vi = (idx // W).astype(jnp.int32)
+    ui = (idx % W).astype(jnp.int32)
+    # Subpixel refinement: 1-D parabola fits through the raw (pre-NMS)
+    # response along u and v. Integer-quantized keypoints feed systematic
+    # ~0.5 px errors into matching/BA otherwise.
+    vc = jnp.clip(vi, 1, H - 2)
+    uc = jnp.clip(ui, 1, W - 2)
+    c = raw_resp[vc, uc]
+    lu = raw_resp[vc, uc - 1]
+    ru = raw_resp[vc, uc + 1]
+    lv = raw_resp[vc - 1, uc]
+    rv = raw_resp[vc + 1, uc]
+    denom_u = lu - 2.0 * c + ru
+    denom_v = lv - 2.0 * c + rv
+    du = jnp.where(
+        jnp.abs(denom_u) > 1e-9, 0.5 * (lu - ru) / denom_u, 0.0
+    ).clip(-0.5, 0.5)
+    dv = jnp.where(
+        jnp.abs(denom_v) > 1e-9, 0.5 * (lv - rv) / denom_v, 0.0
+    ).clip(-0.5, 0.5)
+    uv = jnp.stack(
+        [ui.astype(jnp.float32) + du, vi.astype(jnp.float32) + dv], axis=-1
+    )
     thresh = jnp.maximum(score[0] * min_response_rel, 1e-9)
     valid = jnp.isfinite(score) & (score > thresh)
     return uv, jnp.where(valid, score, 0.0), valid

@@ -3,6 +3,7 @@ from .pyramid import (
     PYRAMID_LEVELS,
     FramePyramid,
     bilinear_sample,
+    bilinear_sample_dense,
     build_depth_pyramid,
     build_pyramid,
     downsample2x,
@@ -17,4 +18,5 @@ __all__ = [
     "downsample2x",
     "scharr_gradients",
     "bilinear_sample",
+    "bilinear_sample_dense",
 ]

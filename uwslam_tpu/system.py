@@ -38,14 +38,21 @@ from .io.trajectory import write_trajectory_tum
 
 @dataclass
 class FrameState:
-    """Per-frame results exposed to callers (diagnostics included)."""
+    """Per-frame results exposed to callers (diagnostics included).
+
+    Poses are additionally recorded RELATIVE to the frame's reference
+    keyframe so that window-BA refinements of keyframe poses retroactively
+    improve the exported trajectory (export recomposes ref_kf pose @
+    T_kf_frame)."""
 
     frame_id: int
     timestamp: float
-    T_wc: np.ndarray          # world <- camera
+    T_wc: np.ndarray          # world <- camera (as tracked live)
     tracked_inliers: int
     track_error: float
     is_keyframe: bool
+    ref_kf_id: int = -1
+    T_kf_frame: np.ndarray | None = None   # ref-kf <- frame
 
 
 class SlamSystem:
@@ -100,6 +107,11 @@ class SlamSystem:
 
         self._prev = None           # (pyramid, points, depth) of previous frame
         self._prev_feats = None     # (Keypoints, descriptors) when use_features
+        from .map.tracks import TrackGraph
+
+        self._tracks = TrackGraph()  # feature tracks across keyframes (BA)
+        self._kf_since_ba = 0
+        self._kf_poses: dict[int, np.ndarray] = {}  # latest refined kf poses
         self._T_wc = jnp.eye(4)     # current world<-camera pose
         self._velocity = jnp.eye(4) # constant-velocity motion model T_prev<-cur
         self._frame_id = 0
@@ -207,6 +219,8 @@ class SlamSystem:
                 tracked_inliers=int(pts.valid.sum()),
                 track_error=0.0,
                 is_keyframe=True,
+                ref_kf_id=self._frame_id,
+                T_kf_frame=np.eye(4, dtype=np.float32),
             )
             kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
             if cur_feats is not None:
@@ -216,6 +230,7 @@ class SlamSystem:
                     kp_valid=cur_feats[0].valid,
                 )
             self.keyframes.insert(kf)
+            self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
             self._prev = (pyr, pts, depth_dev)
             self._prev_feats = cur_feats
         else:
@@ -260,7 +275,19 @@ class SlamSystem:
                         kp_desc=cur_feats[1],
                         kp_valid=cur_feats[0].valid,
                     )
+                prev_kf = self.keyframes.latest
                 self.keyframes.insert(kf)
+                self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
+                if cfg.use_ba and prev_kf is not None and prev_kf.kp_desc is not None:
+                    self._extend_tracks(prev_kf, kf)
+                    self._kf_since_ba += 1
+                    if self._kf_since_ba >= cfg.ba.run_every_n_keyframes:
+                        self._run_window_ba()
+                        self._kf_since_ba = 0
+            ref_kf = self.keyframes.latest
+            T_kf_frame = np.asarray(
+                se3.compose(se3.inverse(ref_kf.T_wc), self._T_wc)
+            )
             state = FrameState(
                 frame_id=self._frame_id,
                 timestamp=ts,
@@ -268,6 +295,8 @@ class SlamSystem:
                 tracked_inliers=inliers,
                 track_error=float(out.error),
                 is_keyframe=is_kf,
+                ref_kf_id=ref_kf.frame_id,
+                T_kf_frame=T_kf_frame,
             )
             self._prev = (pyr, pts, depth_dev)
             self._prev_feats = cur_feats
@@ -276,12 +305,94 @@ class SlamSystem:
         self._frame_id += 1
         return state
 
+    # --------------------------------------------------------------- window BA
+
+    def _extend_tracks(self, prev_kf, new_kf):
+        """Match keyframe features and extend the BA track graph."""
+        import jax.random as jrandom
+
+        from .features import fundamental_ransac, match_descriptors
+
+        fcfg = self.config.features
+        m = match_descriptors(
+            prev_kf.kp_desc, new_kf.kp_desc,
+            prev_kf.kp_valid, new_kf.kp_valid, ratio=fcfg.ratio,
+        )
+        uv_a = prev_kf.kp_uv[m.idx_a]
+        uv_b = new_kf.kp_uv[m.idx_b]
+        res = fundamental_ransac(
+            uv_a, uv_b, m.valid, jrandom.PRNGKey(new_kf.frame_id),
+            threshold=fcfg.ransac_threshold_px,
+            num_hypotheses=fcfg.ransac_hypotheses,
+            min_inliers=fcfg.min_matches,
+        )
+        good = np.asarray(m.valid & res.inliers)
+        self._tracks.add_keyframe_matches(
+            prev_kf.frame_id, new_kf.frame_id,
+            np.asarray(m.idx_a), np.asarray(m.idx_b),
+            np.asarray(uv_a), np.asarray(uv_b), good,
+        )
+
+    def _run_window_ba(self):
+        """Sliding-window bundle adjustment over the keyframe window
+        (BASELINE config 4; the capability the reference's commented-out
+        Ceres scaffolding intended, include/Tracker.h:295-505)."""
+        import jax.numpy as jnp
+
+        from .ba import bundle_adjust
+
+        kfs = self.keyframes.keyframes
+        if len(kfs) < 3:
+            return
+        kf_ids = [k.frame_id for k in kfs]
+        self._tracks.prune_outside_window(set(kf_ids))
+        T_cw = np.stack(
+            [np.asarray(se3.inverse(k.T_wc)) for k in kfs]
+        )
+        built = self._tracks.build_problem(
+            kf_ids, T_cw, self.cam,
+            max_landmarks=min(self.config.ba.landmark_capacity, 1024),
+            max_obs=min(self.config.ba.obs_capacity, 8192),
+        )
+        if built is None:
+            return
+        problem, _ = built
+        out = bundle_adjust(
+            problem, self.cam,
+            max_iters=self.config.ba.max_iterations,
+            huber_delta=self.config.ba.huber_delta_px,
+            num_fixed_poses=2,  # monocular: anchor frame gauge AND scale
+            pose_prior_weight=self.config.ba.pose_prior_weight,
+        )
+        if not bool(jnp.isfinite(out.cost)) or float(out.cost) > float(
+            out.initial_cost
+        ):
+            return
+        # Write back refined keyframe poses; propagate the newest keyframe's
+        # correction to the live pose.
+        T_new_wc = [se3.inverse(out.T_cw[i]) for i in range(len(kfs))]
+        last_old = kfs[-1].T_wc
+        for i, k in enumerate(kfs):
+            kfs[i] = k._replace(T_wc=T_new_wc[i])
+            self._kf_poses[k.frame_id] = np.asarray(T_new_wc[i])
+        correction = se3.compose(T_new_wc[-1], se3.inverse(last_old))
+        self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
+
     # ------------------------------------------------------------------ export
 
     def export_trajectory(self, path: str | None = None):
+        """Export per-frame poses; frames are recomposed against the LATEST
+        (BA-refined) pose of their reference keyframe."""
         path = path or self.config.trajectory_csv
         ts = [s.timestamp for s in self.trajectory]
-        poses = np.stack([s.T_wc for s in self.trajectory])
+        poses = []
+        for s in self.trajectory:
+            kf_pose = self._kf_poses.get(s.ref_kf_id)
+            if kf_pose is not None and s.T_kf_frame is not None:
+                poses.append(np.asarray(kf_pose @ s.T_kf_frame, np.float32))
+            else:
+                poses.append(s.T_wc)
+        poses = np.stack(poses)
         if path:
             write_trajectory_tum(path, ts, poses)
         return np.asarray(ts), poses

@@ -74,6 +74,51 @@ def render_plane_view(
     return jnp.where(behind, 0.0, img)
 
 
+def render_two_plane_view(
+    cam: PinholeCamera,
+    T_cam_world: jax.Array,
+    z_near: float = 2.0,
+    z_far: float = 3.5,
+    seed: int = 0,
+    detail: float = 1.0,
+) -> jax.Array:
+    """Two-depth scene: world x<0 lies on plane z=z_near, x>=0 on z=z_far.
+
+    Single planes are degenerate for fundamental/essential estimation
+    (homography ambiguity); two-view geometry tests need depth structure.
+    """
+    v, u = jnp.meshgrid(
+        jnp.arange(cam.height, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    d = jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, jnp.ones_like(u)],
+        axis=-1,
+    )
+    T_world_cam = se3.inverse(T_cam_world)
+    Rwc = se3.rotation(T_world_cam)
+    twc = se3.translation(T_world_cam)
+    d_w = jnp.einsum("ij,hwj->hwi", Rwc, d)
+
+    def hit(z):
+        t = (z - twc[2]) / jnp.where(
+            jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2]
+        )
+        px = twc[0] + t * d_w[..., 0]
+        py = twc[1] + t * d_w[..., 1]
+        return t, px, py
+
+    t1, px1, py1 = hit(z_near)
+    t2, px2, py2 = hit(z_far)
+    use_near = px1 < 0.0
+    t = jnp.where(use_near, t1, t2)
+    px = jnp.where(use_near, px1, px2)
+    py = jnp.where(use_near, py1, py2)
+    img = smooth_texture(px, py, seed, detail)
+    return jnp.where(t <= 0, 0.0, img)
+
+
 def plane_depth(cam: PinholeCamera, T_cam_world: jax.Array, plane_z: float = 2.0):
     """Exact per-pixel depth of the plane for the given view (z in cam frame)."""
     v, u = jnp.meshgrid(
