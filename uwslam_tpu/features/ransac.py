@@ -87,19 +87,143 @@ def sampson_distance(F: jax.Array, uv_a: jax.Array, uv_b: jax.Array):
     return num / jnp.maximum(den, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "min_inliers"))
-def fundamental_ransac(
+def _project_essential(F: jax.Array) -> jax.Array:
+    """Project onto the essential manifold: singular values -> (s, s, 0)."""
+    U, S, Vt = jnp.linalg.svd(F)
+    s = 0.5 * (S[0] + S[1])
+    return (U * jnp.array([s, s, 0.0])[None, :]) @ Vt
+
+
+def _hat(w: jax.Array) -> jax.Array:
+    return jnp.array(
+        [
+            [0.0, -w[2], w[1]],
+            [w[2], 0.0, -w[0]],
+            [-w[1], w[0], 0.0],
+        ]
+    )
+
+
+def _rot_exp(w: jax.Array) -> jax.Array:
+    """Rodrigues: exp of a rotation vector (small-angle safe)."""
+    th2 = jnp.dot(w, w)
+    th = jnp.sqrt(th2 + 1e-24)
+    A = jnp.sin(th) / th
+    B = (1.0 - jnp.cos(th)) / (th2 + 1e-24)
+    W = _hat(w)
+    return jnp.eye(3) + A * W + B * (W @ W)
+
+
+def _decompose_rt(E: jax.Array):
+    """One (R, t) with [t]x R proportional to E (Sampson is sign-invariant,
+    so any of the four decompositions parameterizes the same manifold point)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    return U @ W @ Vt, U[:, 2]
+
+
+def _gn_polish_essential(
+    R0: jax.Array,
+    t0: jax.Array,
+    xy_a: jax.Array,
+    xy_b: jax.Array,
+    valid: jax.Array,
+    t2: float,
+    iters: int = 8,
+):
+    """Gauss-Newton on the essential manifold (5 dof: so(3) x tangent(S^2))
+    minimizing robustly-weighted Sampson residuals.
+
+    The 8-point + singular-value-projection pipeline is not a descent method
+    on geometric error and fails on near-planar scenes (the reason Nister's
+    5-point exists); a batched manifold GN from several starts is the
+    TPU-idiomatic substitute: tiny dense solves, static shapes, vmappable."""
+    ones = jnp.ones_like(xy_a[:, :1])
+    ha = jnp.concatenate([xy_a, ones], axis=-1)
+    hb = jnp.concatenate([xy_b, ones], axis=-1)
+    vw = valid.astype(jnp.float32)
+
+    def basis_perp(t):
+        # Two unit vectors spanning t^perp (branch on the smallest component).
+        a = jnp.where(jnp.abs(t[0]) < 0.9,
+                      jnp.array([1.0, 0.0, 0.0]),
+                      jnp.array([0.0, 1.0, 0.0]))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return b1, b2
+
+    def residuals(R, t):
+        E = _hat(t) @ R
+        Ex = ha @ E.T       # (K,3) rows E @ xa
+        Etx = hb @ E        # rows E^T xb
+        num = jnp.sum(hb * Ex, axis=-1)
+        den = jnp.sqrt(
+            Ex[:, 0] ** 2 + Ex[:, 1] ** 2 + Etx[:, 0] ** 2 + Etx[:, 1] ** 2
+            + 1e-18
+        )
+        return num / den  # signed Sampson residual; r^2 = Sampson distance
+
+    def score(R, t):
+        d = residuals(R, t) ** 2
+        return jnp.where(valid, jnp.minimum(d, t2), 0.0).sum()
+
+    def step(carry, _):
+        R, t, best_R, best_t, best_s = carry
+        b1, b2 = basis_perp(t)
+
+        def r_of(theta):
+            w, a = theta[:3], theta[3:]
+            Rn = R @ _rot_exp(w)
+            tn = t + a[0] * b1 + a[1] * b2
+            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            return residuals(Rn, tn)
+
+        theta0 = jnp.zeros(5)
+        r = r_of(theta0)
+        J = jax.jacfwd(r_of)(theta0)  # (K, 5)
+        d = r ** 2
+        wrob = vw * jnp.where(d < t2, 1.0 / (1.0 + d / t2), 0.0)
+        A = jnp.einsum("ki,k,kj->ij", J, wrob, J, precision=HIGHEST)
+        g = jnp.einsum("ki,k->i", J, wrob * r, precision=HIGHEST)
+        delta = -jnp.linalg.solve(A + 1e-8 * jnp.eye(5), g)
+        w, a = delta[:3], delta[3:]
+        Rn = R @ _rot_exp(w)
+        tn = t + a[0] * b1 + a[1] * b2
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        s = score(Rn, tn)
+        better = s <= best_s
+        best_R = jnp.where(better, Rn, best_R)
+        best_t = jnp.where(better, tn, best_t)
+        best_s = jnp.where(better, s, best_s)
+        return (Rn, tn, best_R, best_t, best_s), None
+
+    s0 = score(R0, t0)
+    (Rl, tl, bR, bt, bs), _ = jax.lax.scan(
+        step, (R0, t0, R0, t0, s0), None, length=iters
+    )
+    E = _hat(bt) @ bR
+    return E / jnp.maximum(jnp.linalg.norm(E), 1e-12), bs
+
+
+def _ransac_core(
     uv_a: jax.Array,
     uv_b: jax.Array,
     valid: jax.Array,
     key: jax.Array,
-    threshold: float = RANSAC_THRESH_PX,
-    num_hypotheses: int = NUM_HYPOTHESES,
-    min_inliers: int = 15,
+    threshold: float,
+    num_hypotheses: int,
+    min_inliers: int,
+    essential: bool,
 ) -> RansacResult:
-    """RANSAC fundamental matrix with final inlier refit.
+    """RANSAC F/E matrix with MSAC scoring and iterated inlier refit.
 
-    uv_a/uv_b: (K, 2) matched pixel coords; valid: (K,) mask."""
+    uv_a/uv_b: (K, 2) matched pixel coords; valid: (K,) mask. When
+    `essential`, every hypothesis is projected onto the essential manifold
+    BEFORE scoring — projecting only the winning fundamental matrix after
+    selection can turn the best-scoring F into a badly wrong E."""
     K = uv_a.shape[0]
     pa_n, Ta = _normalize_points(uv_a, valid)
     pb_n, Tb = _normalize_points(uv_b, valid)
@@ -118,31 +242,119 @@ def fundamental_ransac(
 
     # Denormalize: F = Tb^T Fn Ta ; Sampson threshold applies in pixels.
     Fs = jnp.einsum("ji,hjk,kl->hil", Tb, Fs_n, Ta, precision=HIGHEST)
+    if essential:
+        Fs = jax.vmap(_project_essential)(Fs)
 
-    def count_inliers(F):
+    # MSAC scoring: sum of truncated squared Sampson distances. Binary
+    # inlier counting is too coarse — a wrong model that barely absorbs one
+    # extra outlier beats the true model; truncated residuals discriminate.
+    t2 = threshold * threshold
+
+    def msac(F):
         d = sampson_distance(F, uv_a, uv_b)
-        inl = valid & (d < threshold * threshold)
-        return inl, inl.sum()
+        inl = valid & (d < t2)
+        score = jnp.where(valid, jnp.minimum(d, t2), 0.0).sum()
+        return inl, score
 
-    inls, counts = jax.vmap(count_inliers)(Fs)
-    best = jnp.argmax(counts)
-    best_inliers = inls[best]
+    _, scores_h = jax.vmap(msac)(Fs)
 
-    # Refit on all inliers (reference's 8-point refine stage :158-166).
-    w = best_inliers.astype(jnp.float32)
-    F_refit_n = _eight_point(pa_n, pb_n, w)
-    F_refit = Tb.T @ F_refit_n @ Ta
-    d = sampson_distance(F_refit, uv_a, uv_b)
-    refit_inliers = valid & (d < threshold * threshold)
-    use_refit = refit_inliers.sum() >= counts[best]
-    F_final = jnp.where(use_refit, F_refit, Fs[best])
-    inliers = jnp.where(use_refit, refit_inliers, best_inliers)
+    # Locally-optimized RANSAC: independently refit the top-k minimal
+    # hypotheses with IRLS (Sampson-weighted 8-point + per-step essential
+    # projection), then pick the best final model. A single refit chain from
+    # the single best minimal sample can stay in a wrong basin — algebraic
+    # LSQ + blunt essential projection is not a descent step on the MSAC
+    # objective, so several starts are needed.
+    k = min(8, num_hypotheses)
+    _, top_idx = jax.lax.top_k(-scores_h, k)
+
+    def refine(F0):
+        def chain(carry, _):
+            F, best_F, best_score = carry
+            d = sampson_distance(F, uv_a, uv_b)
+            w = jnp.where(valid & (d < t2), 1.0 / (1.0 + d / t2), 0.0)
+            F_new = Tb.T @ _eight_point(pa_n, pb_n, w) @ Ta
+            if essential:
+                F_new = _project_essential(F_new)
+            _, score = msac(F_new)
+            better = score <= best_score
+            best_F = jnp.where(better, F_new, best_F)
+            best_score = jnp.where(better, score, best_score)
+            return (F_new, best_F, best_score), None
+
+        _, s0 = msac(F0)
+        (F_last, best_F, best_score), _ = jax.lax.scan(
+            chain, (F0, F0, s0), None, length=3
+        )
+        return best_F, best_score
+
+    F_ref, score_ref = jax.vmap(refine)(Fs[top_idx])
+
+    if essential:
+        # Manifold GN polish. Near-planar scenes have TWO strong local minima
+        # (the homography two-fold ambiguity) that can be far apart on the
+        # t-sphere, so local perturbation is not enough: polish from each
+        # refined model AND from a deterministic global grid of translation
+        # directions crossed with both decomposition rotations of the best
+        # model, then keep the best final score.
+        Rs, ts = jax.vmap(_decompose_rt)(F_ref)
+        jbest = jnp.argmax(-score_ref)
+        U, _, Vt = jnp.linalg.svd(F_ref[jbest])
+        U = U * jnp.sign(jnp.linalg.det(U))
+        Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+        W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        # Both decomposition rotations of the best model, plus identity —
+        # frame-to-frame VO has near-identity rotation, and GN needs a start
+        # with roughly-correct R to descend into the true basin.
+        R_cands = jnp.stack([U @ W @ Vt, U @ W.T @ Vt, jnp.eye(3)])
+        # 10 directions: icosahedron-vertex half (antipodes are equivalent).
+        phi = 1.618034
+        t_grid = jnp.array(
+            [
+                [0.0, 1.0, phi], [0.0, 1.0, -phi],
+                [1.0, phi, 0.0], [1.0, -phi, 0.0],
+                [phi, 0.0, 1.0], [-phi, 0.0, 1.0],
+                [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+                [1.0, 1.0, 1.0],
+            ]
+        )
+        t_grid = t_grid / jnp.linalg.norm(t_grid, axis=-1, keepdims=True)
+        R_pert = jnp.repeat(R_cands, t_grid.shape[0], axis=0)  # (30, 3, 3)
+        t_pert = jnp.tile(t_grid, (R_cands.shape[0], 1))       # (30, 3)
+        R_all = jnp.concatenate([Rs, R_pert], axis=0)
+        t_all = jnp.concatenate([ts, t_pert], axis=0)
+        F_pol, score_pol = jax.vmap(
+            lambda R, t: _gn_polish_essential(R, t, uv_a, uv_b, valid, t2)
+        )(R_all, t_all)
+        F_ref = jnp.concatenate([F_ref, F_pol], axis=0)
+        score_ref = jnp.concatenate([score_ref, score_pol], axis=0)
+
+    j = jnp.argmax(-score_ref)
+    F_final = F_ref[j]
+    inliers, _ = msac(F_final)
     n = inliers.sum()
     return RansacResult(
         F=F_final / jnp.maximum(jnp.abs(F_final[2, 2]), 1e-12),
         inliers=inliers,
         num_inliers=n,
         ok=n >= min_inliers,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "min_inliers"))
+def fundamental_ransac(
+    uv_a: jax.Array,
+    uv_b: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    threshold: float = RANSAC_THRESH_PX,
+    num_hypotheses: int = NUM_HYPOTHESES,
+    min_inliers: int = 15,
+) -> RansacResult:
+    """RANSAC fundamental matrix on pixel coords (reference's
+    findFundamentalMat verification, src/Tracker.cpp:105-169)."""
+    return _ransac_core(
+        uv_a, uv_b, valid, key, threshold, num_hypotheses, min_inliers,
+        essential=False,
     )
 
 
@@ -158,18 +370,11 @@ def essential_ransac(
 ) -> RansacResult:
     """Essential matrix RANSAC on NORMALIZED camera coords (x, y) = K^-1 u.
 
-    Uses the 8-point solver with the essential constraint enforced by
-    projecting singular values to (s, s, 0) (the reference's five-point
-    cv::findEssentialMat at src/feature_detector.cpp:262-265 serves the same
-    role; 8-point on normalized coords is SVD-batched and TPU-regular)."""
-    res = fundamental_ransac(
-        xy_a, xy_b, valid, key,
-        threshold=threshold_norm,
-        num_hypotheses=num_hypotheses,
-        min_inliers=min_inliers,
+    8-point solve + per-hypothesis projection onto the essential manifold
+    (the reference's five-point cv::findEssentialMat at
+    src/feature_detector.cpp:262-265 serves the same role; 8-point on
+    normalized coords is SVD-batched and TPU-regular)."""
+    return _ransac_core(
+        xy_a, xy_b, valid, key, threshold_norm, num_hypotheses, min_inliers,
+        essential=True,
     )
-    U, S, Vt = jnp.linalg.svd(res.F)
-    s = 0.5 * (S[0] + S[1])
-    E = (U * jnp.array([s, s, 0.0])[None, :]) @ Vt
-    return RansacResult(F=E, inliers=res.inliers,
-                        num_inliers=res.num_inliers, ok=res.ok)

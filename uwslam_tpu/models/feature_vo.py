@@ -72,15 +72,17 @@ class FeatureVO:
             c = jnp.asarray([self.cam.cx, self.cam.cy])
             xa = (kp_a.uv[m.idx_a] - c) / f
             xb = (kp_b.uv[m.idx_b] - c) / f
+            # 1 px threshold: keypoints are subpixel-refined, and the tight
+            # truncation makes MSAC separate the planar-ambiguity basins.
             res = essential_ransac(
                 xa, xb, m.valid, jax.random.PRNGKey(self._frame_id),
-                threshold_norm=3.0 / float(self.cam.fx),
+                threshold_norm=1.0 / float(self.cam.fx),
             )
             state.num_matches = int(m.valid.sum())
             state.num_inliers = int(res.num_inliers)
             if bool(res.ok):
                 rec = recover_pose(res.F, xa, xb, res.inliers)
-                T_rel = np.asarray(rec.T)  # b <- a, |t| = 1
+                T_rel = np.array(rec.T)  # b <- a, |t| = 1 (writable copy)
                 T_rel[:3, 3] *= self.translation_scale
                 # Integrate: T_wc_b = T_wc_a * inv(T_rel).
                 self._T_wc = np.asarray(
