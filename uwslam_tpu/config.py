@@ -67,11 +67,26 @@ class BAConfig:
 
 
 @dataclass(frozen=True)
+class RelocConfig:
+    """Tracking-failure detection + relocalization (the reference has neither:
+    a diverged GN just writes a bad pose, SURVEY.md §5)."""
+
+    min_inliers: int = 100               # below this the frame is LOST
+    min_inlier_ratio: float = 0.25       # of the point budget
+    max_error: float = 1e3               # photometric error explosion guard
+    pnp_threshold_px: float = 3.0
+    pnp_min_inliers: int = 12
+    max_candidates: int = 5              # most-recent keyframes tried
+
+
+@dataclass(frozen=True)
 class SlamConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     features: FeatureConfig = field(default_factory=FeatureConfig)
     keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
     ba: BAConfig = field(default_factory=BAConfig)
+    reloc: RelocConfig = field(default_factory=RelocConfig)
     use_features: bool = False           # config-2+ feature front-end
     use_ba: bool = False                 # config-4+ windowed BA
+    use_reloc: bool = True               # failure detection + relocalization
     trajectory_csv: str | None = None    # reference CSV dump equivalent

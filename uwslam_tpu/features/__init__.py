@@ -8,6 +8,7 @@ from .geometry import (
     triangulate_linear,
 )
 from .match import Matches, match_descriptors
+from .pnp import PnPResult, pnp_ransac
 from .ransac import (
     RansacResult,
     essential_ransac,
@@ -24,6 +25,8 @@ __all__ = [
     "DESC_DIM",
     "Matches",
     "match_descriptors",
+    "PnPResult",
+    "pnp_ransac",
     "RansacResult",
     "fundamental_ransac",
     "essential_ransac",

@@ -31,9 +31,11 @@ class Keyframe(NamedTuple):
     T_wc: jax.Array                 # (4, 4) world <- camera
     pyramid: FramePyramid
     points: TrackPoints             # tracked point selection (level 0)
-    kp_uv: jax.Array | None = None  # (K, 2) feature keypoints
+    kp_uv: jax.Array | None = None  # (K, 2) feature keypoints (level-0 coords)
     kp_desc: jax.Array | None = None
     kp_valid: jax.Array | None = None
+    kp_p3d: jax.Array | None = None  # (K, 3) keypoints unprojected into the
+                                     # keyframe CAMERA frame (for PnP reloc)
 
 
 @dataclass

@@ -53,6 +53,7 @@ class FrameState:
     is_keyframe: bool
     ref_kf_id: int = -1
     T_kf_frame: np.ndarray | None = None   # ref-kf <- frame
+    status: str = "ok"        # "ok" | "lost" | "relocalized"
 
 
 class SlamSystem:
@@ -139,6 +140,68 @@ class SlamSystem:
             block=cfg.point_block,
         )
 
+    def _make_keyframe(self, ts, pyr, pts, cur_feats, depth_dev) -> Keyframe:
+        """Build a keyframe; attaches feature keypoints (+ their camera-frame
+        3D via depth or mono_z) so later frames can relocalize with PnP."""
+        kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
+        if cur_feats is None and self.config.use_reloc:
+            cur_feats = self._detect_features(pyr)
+        if cur_feats is not None:
+            from .tracking.points import _depth_at
+
+            kps, desc = cur_feats
+            depth, _ = _depth_at(
+                depth_dev, kps.uv, self.config.tracker.mono_depth
+            )
+            kf = kf._replace(
+                kp_uv=kps.uv,
+                kp_desc=desc,
+                kp_valid=kps.valid,
+                kp_p3d=self.cam.unproject(kps.uv, depth),
+            )
+        return kf
+
+    def _relocalize(self, cur_feats, pyr):
+        """Try PnP against the most recent keyframes (newest first).
+
+        Returns (T_wc, kf_id) on success, None otherwise. The reference has
+        no equivalent — tracking failure goes undetected (SURVEY.md §5)."""
+        import jax.random as jrandom
+
+        from .features import match_descriptors
+        from .features.pnp import pnp_ransac
+
+        rcfg = self.config.reloc
+        if cur_feats is None:
+            cur_feats = self._detect_features(pyr)
+        kps, desc = cur_feats
+        f = jnp.asarray([self.cam.fx, self.cam.fy])
+        c = jnp.asarray([self.cam.cx, self.cam.cy])
+        for kf in reversed(self.keyframes.keyframes[-rcfg.max_candidates:]):
+            if kf.kp_desc is None or kf.kp_p3d is None:
+                continue
+            m = match_descriptors(
+                kf.kp_desc, desc, kf.kp_valid, kps.valid,
+                ratio=self.config.features.ratio,
+            )
+            if int(m.valid.sum()) < rcfg.pnp_min_inliers:
+                continue
+            xy = (kps.uv[m.idx_b] - c) / f
+            res = pnp_ransac(
+                kf.kp_p3d[m.idx_a], xy, m.valid,
+                jrandom.PRNGKey(self._frame_id),
+                threshold_norm=rcfg.pnp_threshold_px / float(self.cam.fx),
+                min_inliers=rcfg.pnp_min_inliers,
+            )
+            if bool(res.ok):
+                T_cam_kf = res.T   # current camera <- keyframe camera
+                T_wc = se3.normalize(
+                    se3.compose(kf.T_wc, se3.inverse(jnp.asarray(T_cam_kf)))
+                )
+                if bool(jnp.isfinite(T_wc).all()):
+                    return T_wc, kf.frame_id
+        return None
+
     def _detect_features(self, pyr):
         """Feature front-end: multi-scale detection + descriptors
         (reference RobustMatcher detect stage, src/Tracker.cpp:187-223)."""
@@ -222,13 +285,7 @@ class SlamSystem:
                 ref_kf_id=self._frame_id,
                 T_kf_frame=np.eye(4, dtype=np.float32),
             )
-            kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
-            if cur_feats is not None:
-                kf = kf._replace(
-                    kp_uv=cur_feats[0].uv,
-                    kp_desc=cur_feats[1],
-                    kp_valid=cur_feats[0].valid,
-                )
+            kf = self._make_keyframe(ts, pyr, pts, cur_feats, depth_dev)
             self.keyframes.insert(kf)
             self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
             self._prev = (pyr, pts, depth_dev)
@@ -256,25 +313,46 @@ class SlamSystem:
                 weight_kind=cfg.tracker.weight_kind,
             )
             T_rel = out.T                     # cur <- prev
-            self._velocity = T_rel
-            self._T_wc = se3.normalize(
-                se3.compose(self._T_wc, se3.inverse(T_rel))
-            )
             inliers = int(out.inliers)
             capacity = int(prev_pts.valid.sum())
             ratio = inliers / max(capacity, 1)
+
+            # Failure detection (reference: none — a diverged GN writes a bad
+            # pose, SURVEY.md §5). A frame is LOST when inliers collapse, the
+            # error explodes, or the pose goes non-finite.
+            rcfg = cfg.reloc
+            lost = cfg.use_reloc and (
+                inliers < min(rcfg.min_inliers, capacity)
+                or ratio < rcfg.min_inlier_ratio
+                or not bool(jnp.isfinite(out.error))
+                or float(out.error) > rcfg.max_error
+                or not bool(jnp.isfinite(T_rel).all())
+            )
+            status = "ok"
+            if lost:
+                reloc = self._relocalize(cur_feats, pyr)
+                if reloc is not None:
+                    self._T_wc, _ = reloc
+                    self._velocity = jnp.eye(4)
+                    status = "relocalized"
+                else:
+                    # Coast on the constant-velocity model and stay lost.
+                    self._T_wc = se3.normalize(
+                        se3.compose(self._T_wc, se3.inverse(self._velocity))
+                    )
+                    status = "lost"
+            else:
+                self._velocity = T_rel
+                self._T_wc = se3.normalize(
+                    se3.compose(self._T_wc, se3.inverse(T_rel))
+                )
             pts = self._select_points(pyr, depth_dev)
-            is_kf = self.keyframes.should_insert(
-                self._frame_id, self._T_wc, ratio
+            is_kf = status != "lost" and (
+                status == "relocalized"
+                or self.keyframes.should_insert(self._frame_id, self._T_wc, ratio)
             )
             if is_kf:
-                kf = Keyframe(self._frame_id, ts, self._T_wc, pyr, pts)
-                if cur_feats is not None:
-                    kf = kf._replace(
-                        kp_uv=cur_feats[0].uv,
-                        kp_desc=cur_feats[1],
-                        kp_valid=cur_feats[0].valid,
-                    )
+                kf = self._make_keyframe(ts, pyr, pts, cur_feats, depth_dev)
                 prev_kf = self.keyframes.latest
                 self.keyframes.insert(kf)
                 self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
@@ -297,6 +375,7 @@ class SlamSystem:
                 is_keyframe=is_kf,
                 ref_kf_id=ref_kf.frame_id,
                 T_kf_frame=T_kf_frame,
+                status=status,
             )
             self._prev = (pyr, pts, depth_dev)
             self._prev_feats = cur_feats
