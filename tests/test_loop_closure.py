@@ -1,0 +1,107 @@
+"""Tests for loop-closure detection and pose-graph drift correction."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uwslam_tpu.camera import PinholeCamera
+from uwslam_tpu.camera.calibration import Calibration
+from uwslam_tpu.config import LoopClosureConfig, SlamConfig, TrackerConfig
+from uwslam_tpu.lie import se3
+from uwslam_tpu.map.loop_closure import (
+    KeyframeRecord,
+    LoopCloser,
+    LoopConfig,
+    LoopEdge,
+)
+from uwslam_tpu.system import SlamSystem
+from uwslam_tpu.utils.synthetic import render_two_plane_view
+
+CAM = PinholeCamera(fx=120.0, fy=120.0, cx=79.5, cy=59.5, width=160, height=120)
+
+
+def _record(frame_id, T_wc):
+    z = jnp.zeros((4, 2))
+    return KeyframeRecord(
+        frame_id=frame_id,
+        T_wc=np.asarray(T_wc, np.float32),
+        kp_uv=z,
+        kp_desc=jnp.zeros((4, 8)),
+        kp_valid=jnp.zeros(4, bool),
+        kp_p3d=jnp.zeros((4, 3)),
+        global_desc=np.zeros(8, np.float32),
+    )
+
+
+class TestPoseGraphCorrection:
+    def test_drift_corrected_by_loop_edge(self):
+        """Keyframes drift along the chain; a ground-truth loop constraint
+        between first and last must pull the trajectory back."""
+        n = 12
+        gt, drifted = [], []
+        drift_per_step = np.asarray(
+            se3.exp(jnp.asarray([0.01, 0.004, 0.0, 0.0, 0.0, 0.002]))
+        )
+        D = np.eye(4, dtype=np.float32)
+        for i in range(n):
+            # Ground truth: out and back along x.
+            x = 0.1 * i if i < n // 2 else 0.1 * (n - 1 - i)
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = x
+            gt.append(T)
+            D = D @ drift_per_step  # accumulated drift
+            drifted.append((T @ D).astype(np.float32))
+
+        lc = LoopCloser(cam=CAM, config=LoopConfig(min_gap=4))
+        for i in range(n):
+            lc.history.append(_record(i, drifted[i]))
+            if i > 0:
+                lc.odo_rel.append(
+                    np.linalg.inv(drifted[i - 1]) @ drifted[i]
+                )
+        # Loop constraint from ground truth: T_0^-1 T_last.
+        T_ij = np.linalg.inv(gt[0]) @ gt[-1]
+        lc.loop_edges.append(LoopEdge(i=0, j=n - 1, T_ij=T_ij, num_inliers=50))
+
+        err_before = np.linalg.norm(drifted[-1][:3, 3] - gt[-1][:3, 3])
+        corrected = lc.optimize()
+        assert corrected, "optimization rejected"
+        err_after = np.linalg.norm(corrected[n - 1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestSystemLoopClosure:
+    def test_out_and_back_detects_loop(self):
+        calib = Calibration(raw=CAM, out_width=CAM.width, out_height=CAM.height)
+        sys_ = SlamSystem(
+            calib,
+            SlamConfig(
+                tracker=TrackerConfig(
+                    pyramid_levels=4, track_levels=(2, 1, 0),
+                    num_points=512, mono_depth=2.0,
+                ),
+                use_loop_closure=True,
+                loop=LoopClosureConfig(
+                    min_gap=4, min_matches=15, pnp_min_inliers=12,
+                    min_similarity=0.5,
+                ),
+            ),
+        )
+        n = 24
+        xs = [0.06 * i for i in range(n // 2)]
+        xs += xs[::-1]  # return to start
+        gt_wc = []
+        for i, x in enumerate(xs):
+            T = se3.exp(jnp.asarray([x, 0.0, 0.0, 0.0, 0.0, 0.0]))
+            img = np.asarray(render_two_plane_view(CAM, T, 2.0, 3.5, detail=3.0))
+            st = sys_.process_frame(img)
+            gt_wc.append(np.asarray(se3.inverse(T)))
+        assert len(sys_._loops.history) >= 6
+        assert len(sys_._loops.loop_edges) >= 1, "no loop detected"
+        # Trajectory should still be metrically close after corrections.
+        err = np.linalg.norm(st.T_wc[:3, 3] - gt_wc[-1][:3, 3])
+        assert err < 0.15, f"final pose error {err}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -80,13 +80,30 @@ class RelocConfig:
 
 
 @dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop detection + pose-graph correction (map.loop_closure)."""
+
+    min_gap: int = 8
+    max_candidates: int = 3
+    min_similarity: float = 0.70
+    min_matches: int = 25
+    pnp_threshold_px: float = 3.0
+    pnp_min_inliers: int = 20
+    odometry_weight: float = 100.0
+    loop_weight: float = 30.0
+    max_pgo_iters: int = 30
+
+
+@dataclass(frozen=True)
 class SlamConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     features: FeatureConfig = field(default_factory=FeatureConfig)
     keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
     ba: BAConfig = field(default_factory=BAConfig)
     reloc: RelocConfig = field(default_factory=RelocConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
     use_features: bool = False           # config-2+ feature front-end
     use_ba: bool = False                 # config-4+ windowed BA
     use_reloc: bool = True               # failure detection + relocalization
+    use_loop_closure: bool = False       # loop detection + pose-graph correction
     trajectory_csv: str | None = None    # reference CSV dump equivalent

@@ -1,0 +1,199 @@
+"""Loop-closure detection + pose-graph correction.
+
+The reference has no loop closure (its Sim3 typedef at
+/root/reference/include/Options.h:130 signals the intent, never realized;
+SURVEY.md §5). This module supplies it TPU-first:
+
+- every keyframe leaves a lightweight record (pose, keypoints, descriptors,
+  camera-frame 3D) — pyramids are NOT retained, so history is cheap;
+- candidate retrieval is a single matmul against mean-pooled keyframe
+  descriptors (a bag-of-words stand-in that is one MXU op);
+- verification is descriptor matching + PnP RANSAC (features.pnp), giving a
+  metric relative-pose constraint;
+- accepted loops trigger pose-graph LM (ba.pose_graph) over the whole
+  keyframe trajectory, with node/edge buffers padded to buckets so XLA
+  recompiles only when the graph outgrows its bucket.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba.pose_graph import PoseGraph, optimize_pose_graph
+from ..lie import se3
+
+
+class KeyframeRecord(NamedTuple):
+    frame_id: int
+    T_wc: np.ndarray
+    kp_uv: jax.Array
+    kp_desc: jax.Array
+    kp_valid: jax.Array
+    kp_p3d: jax.Array
+    global_desc: np.ndarray   # (D,) mean-pooled keypoint descriptor
+
+
+class LoopEdge(NamedTuple):
+    i: int          # history index of the older keyframe
+    j: int          # history index of the newer keyframe
+    T_ij: np.ndarray  # kf_i <- kf_j relative pose
+    num_inliers: int
+
+
+@dataclass
+class LoopConfig:
+    min_gap: int = 8              # keyframes between i and j to count as loop
+    max_candidates: int = 3       # PnP-verified per new keyframe
+    min_similarity: float = 0.70  # global-descriptor cosine gate
+    min_matches: int = 25
+    pnp_threshold_px: float = 3.0
+    pnp_min_inliers: int = 20
+    odometry_weight: float = 100.0
+    loop_weight: float = 30.0
+    max_pgo_iters: int = 30
+
+
+def _bucket(n: int, size: int) -> int:
+    return max(size, ((n + size - 1) // size) * size)
+
+
+@dataclass
+class LoopCloser:
+    """Keyframe history + loop detection + pose-graph optimization."""
+
+    cam: "object"                 # PinholeCamera (host-held intrinsics)
+    config: LoopConfig = field(default_factory=LoopConfig)
+    history: list = field(default_factory=list)       # [KeyframeRecord]
+    odo_rel: list = field(default_factory=list)       # [np (4,4)] i -> i+1
+    loop_edges: list = field(default_factory=list)    # [LoopEdge]
+
+    def add_keyframe(self, kf) -> None:
+        """Record a keyframe (call after SlamSystem inserts it). kf must carry
+        kp_desc/kp_valid/kp_p3d (features are attached by _make_keyframe)."""
+        desc = np.asarray(kf.kp_desc, np.float32)
+        valid = np.asarray(kf.kp_valid)
+        g = desc[valid].mean(axis=0) if valid.any() else np.zeros(desc.shape[1])
+        g = g / max(float(np.linalg.norm(g)), 1e-9)
+        rec = KeyframeRecord(
+            frame_id=kf.frame_id,
+            T_wc=np.asarray(kf.T_wc, np.float32),
+            kp_uv=kf.kp_uv,
+            kp_desc=kf.kp_desc,
+            kp_valid=kf.kp_valid,
+            kp_p3d=kf.kp_p3d,
+            global_desc=g.astype(np.float32),
+        )
+        if self.history:
+            T_prev = self.history[-1].T_wc
+            self.odo_rel.append(
+                np.linalg.inv(T_prev) @ rec.T_wc  # prev <- new (world chain)
+            )
+        self.history.append(rec)
+
+    # ------------------------------------------------------------- detection
+
+    def detect(self, key=None) -> LoopEdge | None:
+        """Try to close a loop for the LATEST keyframe. Returns the accepted
+        edge (also appended to self.loop_edges) or None."""
+        from ..features import match_descriptors
+        from ..features.pnp import pnp_ransac
+
+        cfg = self.config
+        j = len(self.history) - 1
+        if j < cfg.min_gap + 1:
+            return None
+        cur = self.history[j]
+        past = self.history[: j - cfg.min_gap]
+        G = np.stack([r.global_desc for r in past])       # (N, D)
+        sims = G @ cur.global_desc                        # (N,)
+        order = np.argsort(-sims)[: cfg.max_candidates]
+        key = key if key is not None else jax.random.PRNGKey(j)
+        f = jnp.asarray([self.cam.fx, self.cam.fy])
+        c = jnp.asarray([self.cam.cx, self.cam.cy])
+        for n in order:
+            if sims[n] < cfg.min_similarity:
+                break
+            cand = past[int(n)]
+            m = match_descriptors(
+                cand.kp_desc, cur.kp_desc, cand.kp_valid, cur.kp_valid
+            )
+            if int(m.valid.sum()) < cfg.min_matches:
+                continue
+            xy = (cur.kp_uv[m.idx_b] - c) / f
+            res = pnp_ransac(
+                cand.kp_p3d[m.idx_a], xy, m.valid, key,
+                threshold_norm=cfg.pnp_threshold_px / float(self.cam.fx),
+                min_inliers=cfg.pnp_min_inliers,
+            )
+            if not bool(res.ok):
+                continue
+            # res.T: cur camera <- cand camera  =>  T_ij (cand <- cur, world
+            # chain convention of pose_graph: T_ij = T_i^-1 T_j).
+            T_ij = np.linalg.inv(np.asarray(res.T, np.float32))
+            edge = LoopEdge(
+                i=int(n), j=j, T_ij=T_ij, num_inliers=int(res.num_inliers)
+            )
+            self.loop_edges.append(edge)
+            return edge
+        return None
+
+    # ------------------------------------------------------------ correction
+
+    def optimize(self) -> dict[int, np.ndarray]:
+        """Pose-graph LM over the whole keyframe history; returns
+        {frame_id: corrected T_wc}. Buffers are bucket-padded so repeated
+        closures reuse the compiled program."""
+        cfg = self.config
+        M = len(self.history)
+        E = (M - 1) + len(self.loop_edges)
+        Mp = _bucket(M, 16)
+        Ep = _bucket(E, 64)
+
+        T = np.tile(np.eye(4, dtype=np.float32), (Mp, 1, 1))
+        for k, r in enumerate(self.history):
+            T[k] = r.T_wc
+        ei = np.zeros(Ep, np.int32)
+        ej = np.zeros(Ep, np.int32)
+        Tij = np.tile(np.eye(4, dtype=np.float32), (Ep, 1, 1))
+        w = np.zeros(Ep, np.float32)
+        valid = np.zeros(Ep, bool)
+        for k in range(M - 1):
+            ei[k], ej[k] = k, k + 1
+            Tij[k] = self.odo_rel[k]
+            w[k] = cfg.odometry_weight
+            valid[k] = True
+        for k, e in enumerate(self.loop_edges):
+            p = (M - 1) + k
+            ei[p], ej[p] = e.i, e.j
+            Tij[p] = e.T_ij
+            w[p] = cfg.loop_weight
+            valid[p] = True
+
+        graph = PoseGraph(
+            T_wc=jnp.asarray(T),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            T_ij=jnp.asarray(Tij),
+            weight=jnp.asarray(w),
+            valid=jnp.asarray(valid),
+        )
+        out = optimize_pose_graph(graph, max_iters=cfg.max_pgo_iters)
+        if not bool(jnp.isfinite(out.cost)) or float(out.cost) > float(
+            out.initial_cost
+        ):
+            return {}
+        T_new = np.asarray(out.T_wc)
+        corrected = {}
+        for k, r in enumerate(self.history):
+            self.history[k] = r._replace(T_wc=T_new[k])
+            corrected[r.frame_id] = T_new[k]
+        # Refresh stored odometry to the corrected chain so future
+        # optimizations start consistent.
+        self.odo_rel = [
+            np.linalg.inv(T_new[k]) @ T_new[k + 1] for k in range(M - 1)
+        ]
+        return corrected

@@ -111,6 +111,15 @@ class SlamSystem:
         from .map.tracks import TrackGraph
 
         self._tracks = TrackGraph()  # feature tracks across keyframes (BA)
+        self._loops = None           # LoopCloser (lazy, use_loop_closure)
+        if self.config.use_loop_closure:
+            from dataclasses import asdict
+
+            from .map.loop_closure import LoopCloser, LoopConfig
+
+            self._loops = LoopCloser(
+                cam=self.cam, config=LoopConfig(**asdict(self.config.loop))
+            )
         self._kf_since_ba = 0
         self._kf_poses: dict[int, np.ndarray] = {}  # latest refined kf poses
         self._T_wc = jnp.eye(4)     # current world<-camera pose
@@ -160,6 +169,31 @@ class SlamSystem:
                 kp_p3d=self.cam.unproject(kps.uv, depth),
             )
         return kf
+
+    def _on_new_keyframe(self, kf) -> None:
+        """Loop-closure hook: record the keyframe, try to close a loop, and
+        on success propagate the pose-graph correction to the keyframe
+        window, the exported trajectory, and the live pose."""
+        if self._loops is None or kf.kp_desc is None:
+            return
+        self._loops.add_keyframe(kf)
+        if self._loops.detect() is None:
+            return
+        corrected = self._loops.optimize()
+        if not corrected:
+            return
+        for fid, T in corrected.items():
+            self._kf_poses[fid] = T
+        kfs = self.keyframes.keyframes
+        last_old = np.asarray(kfs[-1].T_wc)
+        for i, k in enumerate(kfs):
+            Tn = corrected.get(k.frame_id)
+            if Tn is not None:
+                kfs[i] = k._replace(T_wc=jnp.asarray(Tn))
+        last_new = corrected.get(kfs[-1].frame_id)
+        if last_new is not None:
+            corr = jnp.asarray(last_new) @ se3.inverse(jnp.asarray(last_old))
+            self._T_wc = se3.normalize(se3.compose(corr, self._T_wc))
 
     def _relocalize(self, cur_feats, pyr):
         """Try PnP against the most recent keyframes (newest first).
@@ -288,6 +322,7 @@ class SlamSystem:
             kf = self._make_keyframe(ts, pyr, pts, cur_feats, depth_dev)
             self.keyframes.insert(kf)
             self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
+            self._on_new_keyframe(kf)
             self._prev = (pyr, pts, depth_dev)
             self._prev_feats = cur_feats
         else:
@@ -356,6 +391,7 @@ class SlamSystem:
                 prev_kf = self.keyframes.latest
                 self.keyframes.insert(kf)
                 self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
+                self._on_new_keyframe(kf)
                 if cfg.use_ba and prev_kf is not None and prev_kf.kp_desc is not None:
                     self._extend_tracks(prev_kf, kf)
                     self._kf_since_ba += 1
