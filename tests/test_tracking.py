@@ -138,3 +138,30 @@ class TestTracking:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestDensePoints:
+    def test_dense_mode_tracks(self):
+        """ObtainAllPoints parity: dense (strided) point selection tracks a
+        synthetic pair as accurately as semi-dense."""
+        import numpy as np
+        from uwslam_tpu.tracking.points import dense_points
+        from uwslam_tpu.tracking import track
+        from uwslam_tpu.image import build_pyramid
+        from uwslam_tpu.utils.synthetic import render_plane_view
+        from uwslam_tpu.lie import se3
+        from uwslam_tpu.camera import PinholeCamera
+        import jax.numpy as jnp
+
+        cam = PinholeCamera(fx=120.0, fy=120.0, cx=79.5, cy=59.5,
+                            width=160, height=120)
+        T_gt = se3.exp(jnp.asarray([0.02, -0.01, 0.005, 0.004, -0.003, 0.008]))
+        ref = render_plane_view(cam, jnp.eye(4), 2.0)
+        tgt = render_plane_view(cam, T_gt, 2.0)
+        ref_pyr = build_pyramid(ref, levels=4)
+        tgt_pyr = build_pyramid(tgt, levels=4)
+        pts = dense_points(ref_pyr.images[0], cam, mono_z=2.0, stride=2)
+        assert int(pts.valid.sum()) > 3000
+        out = track(ref_pyr, tgt_pyr, pts, cam, levels=(2, 1, 0), max_iters=10)
+        err = np.asarray(se3.log(se3.compose(se3.inverse(out.T), T_gt)))
+        assert np.linalg.norm(err) < 1e-3, err

@@ -41,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write estimated trajectory (TUM format)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--levels", type=int, default=5, help="pyramid levels")
+    p.add_argument("--euroc", action="store_true",
+                   help="treat -d as an EUROC mav0 dir (cam0/data/*.png)")
+    p.add_argument("--features", action="store_true",
+                   help="feature front-end: detection + patch matching "
+                        "(BASELINE config 2)")
+    p.add_argument("--ba", action="store_true",
+                   help="sliding-window bundle adjustment (BASELINE config 4)")
+    p.add_argument("--loop-closure", action="store_true",
+                   help="loop detection + pose-graph correction")
+    p.add_argument("--mono-depth", type=float, default=1.0,
+                   help="assumed scene depth for pure-mono tracking")
+    p.add_argument("--num-points", type=int, default=2048,
+                   help="tracked point budget per frame")
     return p
 
 
@@ -56,6 +69,7 @@ def main(argv=None) -> int:
         associate,
         ate_rmse,
         open_directory,
+        open_euroc,
         open_tum,
         read_groundtruth_euroc,
         read_groundtruth_tum,
@@ -64,12 +78,22 @@ def main(argv=None) -> int:
 
     calib = camera.load(args.calibration)
     config = SlamConfig(
-        tracker=TrackerConfig(pyramid_levels=args.levels),
+        tracker=TrackerConfig(
+            pyramid_levels=args.levels,
+            track_levels=tuple(range(args.levels - 2, -1, -1)),
+            mono_depth=args.mono_depth,
+            num_points=args.num_points,
+        ),
+        use_features=args.features,
+        use_ba=args.ba,
+        use_loop_closure=args.loop_closure,
         trajectory_csv=args.trajectory_out,
     )
     system = SlamSystem(calib, config)
 
-    if args.depth:
+    if args.euroc:
+        seq = open_euroc(args.directory, start=args.start)
+    elif args.depth:
         seq = open_tum(args.directory, args.depth, start=args.start)
     else:
         seq = open_directory(args.directory, start=args.start)

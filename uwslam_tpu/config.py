@@ -25,6 +25,9 @@ class TrackerConfig:
     step_epsilon: float = 1e-4           # reference eps=0.001 (|delta| stop)
     num_points: int = 2048               # semi-dense top-K selection capacity
     point_block: int = 8                 # spatial spread block (ref: 32x32 grid)
+    point_mode: str = "semi_dense"       # "semi_dense" (ObtainCandidatePoints)
+                                         # | "dense" (ObtainAllPoints)
+    dense_stride: int = 2                # pixel stride in dense mode
     weight_kind: WeightKind = WeightKind.HUBER
     mono_depth: float = 1.0              # z=1 when no depth (Tracker.cpp:1228)
     depth_factor: float = 0.0002         # TUM 16-bit depth scaling

@@ -139,6 +139,15 @@ class SlamSystem:
 
     def _select_points(self, pyr, depth_image):
         cfg = self.config.tracker
+        if cfg.point_mode == "dense":
+            from .tracking.points import dense_points
+
+            return dense_points(
+                pyr.images[0], self.cam,
+                depth_image=depth_image,
+                mono_z=cfg.mono_depth,
+                stride=cfg.dense_stride,
+            )
         return topk_gradient_points(
             pyr.images[0],
             pyr.grad_mag[0],

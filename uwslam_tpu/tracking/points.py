@@ -104,6 +104,40 @@ def topk_gradient_points(
     return TrackPoints(uv=uv, p3d=p3d, intensity=intensity, valid=valid)
 
 
+@partial(jax.jit, static_argnames=("stride", "border"))
+def dense_points(
+    image: jax.Array,
+    cam: PinholeCamera,
+    depth_image: jax.Array | None = None,
+    mono_z: float = 1.0,
+    stride: int = 1,
+    border: int = 4,
+) -> TrackPoints:
+    """Every pixel (optionally strided) as a track point — the reference's
+    ObtainAllPoints dense builder (src/Tracker.cpp:1259-1310) feeding its
+    dense EstimatePose / FastEstimatePose variants (:362-597, :875-1122).
+
+    Shape is static: (H//stride * W//stride) points; the border band is
+    masked out rather than dropped."""
+    H, W = image.shape
+    v, u = jnp.meshgrid(
+        jnp.arange(0, H - (H % stride), stride, dtype=jnp.float32),
+        jnp.arange(0, W - (W % stride), stride, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uv = jnp.stack([u.ravel(), v.ravel()], axis=-1)
+    interior = (
+        (uv[:, 0] >= border) & (uv[:, 0] < W - border)
+        & (uv[:, 1] >= border) & (uv[:, 1] < H - border)
+    )
+    depth, dok = _depth_at(depth_image, uv, mono_z)
+    p3d = cam.unproject(uv, depth)
+    intensity, iok = bilinear_sample(image, uv)
+    return TrackPoints(
+        uv=uv, p3d=p3d, intensity=intensity, valid=interior & dok & iok
+    )
+
+
 @partial(jax.jit, static_argnames=("patch_size", "max_keypoints"))
 def patch_points(
     image: jax.Array,

@@ -119,6 +119,40 @@ def render_two_plane_view(
     return jnp.where(t <= 0, 0.0, img)
 
 
+def render_plane_view_distorted(
+    cam: PinholeCamera,
+    T_cam_world: jax.Array,
+    plane_z: float = 2.0,
+    seed: int = 0,
+    detail: float = 1.0,
+) -> jax.Array:
+    """Render the plane as seen by a DISTORTED camera (cam carries radtan
+    coefficients): each raw pixel's ray direction is the undistorted
+    normalized coordinate. Exercises the rectification path end-to-end
+    (reference EUROC mode, src/CameraModel.cpp:89-103)."""
+    v, u = jnp.meshgrid(
+        jnp.arange(cam.height, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    xy_d = jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy], axis=-1
+    )
+    xy = cam.undistort_normalized(xy_d)
+    d = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+    T_world_cam = se3.inverse(T_cam_world)
+    Rwc = se3.rotation(T_world_cam)
+    twc = se3.translation(T_world_cam)
+    d_w = jnp.einsum("ij,hwj->hwi", Rwc, d)
+    t = (plane_z - twc[2]) / jnp.where(
+        jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2]
+    )
+    px = twc[0] + t * d_w[..., 0]
+    py = twc[1] + t * d_w[..., 1]
+    img = smooth_texture(px, py, seed, detail)
+    return jnp.where(t <= 0, 0.0, img)
+
+
 def plane_depth(cam: PinholeCamera, T_cam_world: jax.Array, plane_z: float = 2.0):
     """Exact per-pixel depth of the plane for the given view (z in cam frame)."""
     v, u = jnp.meshgrid(
