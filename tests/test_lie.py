@@ -195,3 +195,31 @@ class TestSim3:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestAutodiffSafety:
+    """jacfwd through exp/log must be NaN-free at the singular points
+    (identity, pure translation, pure scale) — pose-graph LM differentiates
+    residuals that sit EXACTLY at identity when edges are consistent."""
+
+    def test_so3_se3_sim3_log_exp_jacobians_finite(self):
+        import jax
+        import jax.numpy as jnp
+        from uwslam_tpu.lie import se3, sim3, so3
+
+        assert bool(jnp.isfinite(
+            jax.jacfwd(lambda d: so3.log(so3.exp(d)))(jnp.zeros(3))).all())
+        assert bool(jnp.isfinite(
+            jax.jacfwd(lambda d: se3.log(se3.exp(d)))(jnp.zeros(6))).all())
+        assert bool(jnp.isfinite(
+            jax.jacfwd(lambda d: sim3.log(sim3.exp(d)))(jnp.zeros(7))).all())
+        # Singular-direction anchors: pure translation / pure scale / generic.
+        for x0 in (
+            jnp.asarray([0.5, 0, 0, 0, 0, 0, 0.08]),   # theta=0, sigma!=0
+            jnp.asarray([0.5, 0, 0, 0.2, 0, 0, 0.0]),  # theta!=0, sigma=0
+            jnp.asarray([0.1, 0.05, -0.02, 0.01, 0.02, -0.03, 0.04]),
+        ):
+            J = jax.jacfwd(
+                lambda d: sim3.log(sim3.compose(sim3.exp(x0), sim3.exp(d)))
+            )(jnp.zeros(7))
+            assert bool(jnp.isfinite(J).all()), x0

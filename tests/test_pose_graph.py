@@ -68,3 +68,62 @@ class TestPoseGraph:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestSim3PoseGraph:
+    def test_scale_drift_corrected(self):
+        """Monocular scale drift: odometry edges measured with a wrong scale
+        drift; a Sim(3) loop edge carrying the true scale must pull both the
+        poses and the per-node scales back (SE(3) PGO cannot absorb this)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from uwslam_tpu.ba import Sim3PoseGraph, optimize_pose_graph_sim3
+        from uwslam_tpu.lie import sim3, se3
+
+        n = 8
+        # Ground truth: unit-scale poses out and back along x.
+        gt = []
+        for i in range(n):
+            x = 0.5 * i if i < n // 2 else 0.5 * (n - 1 - i)
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = x
+            gt.append(T)
+        # Odometry: each relative step measured with scale drift 1.08^k.
+        S = [jnp.asarray(gt[0])]
+        ei, ej, Sij, w, valid = [], [], [], [], []
+        for k in range(n - 1):
+            rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+            drift = 1.08 ** (k + 1)
+            rel_drifted = sim3.from_rst(
+                jnp.asarray(rel[:3, :3]), jnp.asarray(drift),
+                jnp.asarray(rel[:3, 3] * drift),
+            )
+            S.append(sim3.compose(S[-1], rel_drifted))
+            ei.append(k); ej.append(k + 1)
+            Sij.append(np.asarray(rel_drifted))
+            w.append(10.0); valid.append(True)
+        # Loop edge 0 <-> last with TRUE relative Sim(3) (scale 1).
+        rel_true = np.linalg.inv(gt[0]) @ gt[-1]
+        ei.append(0); ej.append(n - 1)
+        Sij.append(rel_true.astype(np.float32))
+        w.append(100.0); valid.append(True)
+
+        graph = Sim3PoseGraph(
+            S_wc=jnp.stack(S),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            S_ij=jnp.asarray(np.stack(Sij)),
+            weight=jnp.asarray(w),
+            valid=jnp.asarray(valid),
+        )
+        out = optimize_pose_graph_sim3(graph, max_iters=40)
+        assert float(out.cost) < 0.1 * float(out.initial_cost)
+        # Last node must be back near the ground truth position and scale ~1.
+        S_last = np.asarray(out.T_wc[-1])
+        t_err = np.linalg.norm(S_last[:3, 3] - gt[-1][:3, 3])
+        drift0 = np.asarray(sim3.scale(graph.S_wc[-1]))
+        s_last = float(np.asarray(sim3.scale(out.T_wc[-1])))
+        assert t_err < 0.2, t_err
+        assert abs(s_last - 1.0) < 0.5 * abs(float(drift0) - 1.0), (
+            drift0, s_last
+        )

@@ -1,4 +1,14 @@
-"""Bundle adjustment: Schur-complement LM over sliding windows."""
+"""Bundle adjustment: Schur-complement LM over sliding windows, plus
+SE(3)/Sim(3) pose-graph optimization."""
+from .pose_graph import (
+    PGOResult,
+    PoseGraph,
+    Sim3PoseGraph,
+    add_loop_edge,
+    odometry_edges,
+    optimize_pose_graph,
+    optimize_pose_graph_sim3,
+)
 from .schur import (
     BAProblem,
     BAResult,
@@ -15,4 +25,11 @@ __all__ = [
     "build_normal_equations",
     "solve_schur",
     "reproject_residuals",
+    "PoseGraph",
+    "Sim3PoseGraph",
+    "PGOResult",
+    "odometry_edges",
+    "add_loop_edge",
+    "optimize_pose_graph",
+    "optimize_pose_graph_sim3",
 ]

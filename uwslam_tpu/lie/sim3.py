@@ -51,18 +51,25 @@ def _calc_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
 
     W = A I + B Omega + C Omega^2 with Taylor-guarded A, B, C coefficients
     depending on (theta, sigma).
+
+    Differentiation-safe (double-where discipline): theta comes from the
+    POLYNOMIAL theta2 = w.w (never linalg.norm, whose tangent at 0 is NaN),
+    every guarded branch divides only by `safe_*` quantities, and unselected
+    branches stay finite in both value and tangent so jacfwd/jacrev through
+    exp/log (pose-graph LM) never poisons with NaN.
     """
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta2 = jnp.sum(w * w, axis=-1)
+    small_theta = theta2 < _EPS * _EPS
+    safe_theta2 = jnp.where(small_theta, 1.0, theta2)
+    safe_theta = jnp.sqrt(safe_theta2)
     Omega = so3.hat(w)
     Omega2 = _mm(Omega, Omega)
     s = jnp.exp(sigma)
 
     small_sigma = jnp.abs(sigma) < _EPS
-    small_theta = theta < _EPS
     safe_sigma = jnp.where(small_sigma, 1.0, sigma)
-    safe_theta = jnp.where(small_theta, 1.0, theta)
-    theta2 = theta * theta
     sigma2 = sigma * sigma
+    safe_sigma2 = jnp.where(small_sigma, 1.0, sigma2)
 
     # C = (s - 1) / sigma, Taylor: 1 + sigma/2.
     C = jnp.where(small_sigma, 1.0 + sigma / 2.0, (s - 1.0) / safe_sigma)
@@ -71,50 +78,37 @@ def _calc_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
     sin_t = jnp.sin(safe_theta)
 
     # Branches (following the Sophus case analysis):
-    # sigma small, theta small:    A ~ 1/6 + higher, B ~ 1/2
+    # sigma small, theta small:    Taylor in both
     # sigma small, theta generic:  A = (theta - sin)/theta^3, B = (1-cos)/theta^2
     # sigma generic, theta small:  Taylor in theta with sigma exact
     # sigma generic, theta generic: full closed form.
-    a_ss = 0.5  # B when both small
-    b_ss = 1.0 / 6.0  # A when both small
-
     B_s0 = jnp.where(
         small_theta,
         0.5 - theta2 / 24.0,
-        (1.0 - cos_t) / jnp.where(small_theta, 1.0, theta2),
+        (1.0 - cos_t) / safe_theta2,
     )
     A_s0 = jnp.where(
         small_theta,
         1.0 / 6.0 - theta2 / 120.0,
-        (safe_theta - sin_t) / jnp.where(small_theta, 1.0, theta2 * safe_theta),
+        (safe_theta - sin_t) / (safe_theta2 * safe_theta),
     )
 
-    # sigma generic:
     denom_g = jnp.where(small_sigma, 1.0, sigma2 + theta2)
-    # theta small, sigma generic (Taylor in theta):
-    B_g_t0 = ((sigma - 1.0) * s + 1.0) / jnp.where(small_sigma, 1.0, sigma2)
+    B_g_t0 = ((sigma - 1.0) * s + 1.0) / safe_sigma2
     A_g_t0 = (
         (0.5 * sigma2 - sigma + 1.0) * s - 1.0 - 0.5 * sigma2
-    ) / jnp.where(small_sigma, 1.0, sigma2 * safe_sigma)
-    # generic/generic:
+    ) / (safe_sigma2 * safe_sigma)
     a_gg = s * sin_t
     b_gg = s * cos_t
-    B_gg = (a_gg * sigma + (1.0 - b_gg) * safe_theta) / (
-        safe_theta * denom_g
-    )
-    A_gg = (C - ((b_gg - 1.0) * sigma + a_gg * safe_theta) / denom_g) / theta2.clip(
-        _EPS * _EPS
-    )
+    B_gg = (a_gg * sigma + (1.0 - b_gg) * safe_theta) / (safe_theta * denom_g)
+    A_gg = (
+        C - ((b_gg - 1.0) * sigma + a_gg * safe_theta) / denom_g
+    ) / safe_theta2
 
-    B = jnp.where(
-        small_sigma, B_s0, jnp.where(small_theta, B_g_t0, B_gg)
-    )
-    A = jnp.where(
-        small_sigma, A_s0, jnp.where(small_theta, A_g_t0, A_gg)
-    )
+    B = jnp.where(small_sigma, B_s0, jnp.where(small_theta, B_g_t0, B_gg))
+    A = jnp.where(small_sigma, A_s0, jnp.where(small_theta, A_g_t0, A_gg))
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), Omega.shape)
-    del a_ss, b_ss
     return (
         C[..., None, None] * eye
         + B[..., None, None] * Omega

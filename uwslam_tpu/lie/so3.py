@@ -90,24 +90,39 @@ def log(R: jax.Array) -> jax.Array:
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     # theta via atan2(sin, cos): much better f32 conditioning than arccos,
     # whose derivative blows up as 1/sin(theta) near 0 and pi.
+    # Differentiation-safety: smallness is tested on the POLYNOMIAL
+    # n2 = |R - R^T|^2/... = (2 sin theta)^2, never on a norm/sqrt whose
+    # tangent at 0 is NaN — the sqrt below is only evaluated (and only
+    # differentiated) where n2 is bounded away from 0.
     antisym = vee(R - jnp.swapaxes(R, -1, -2))
-    sin_theta = 0.5 * jnp.linalg.norm(antisym, axis=-1)
-    theta = jnp.arctan2(sin_theta, cos_theta)
-    near_pi = theta > (jnp.pi - 1e-3)
-    small = theta < _EPS
+    n2 = jnp.sum(antisym * antisym, axis=-1)     # (2 sin theta)^2
+    small_sin = n2 < _EPS * _EPS                  # identity OR near pi
+    sin_theta = 0.5 * jnp.sqrt(jnp.where(small_sin, 1.0, n2))
+    theta_g = jnp.arctan2(sin_theta, cos_theta)
+    near_pi = cos_theta < -0.99999
+    # Identity region: theta/(2 sin theta) = 0.5 + theta^2/12 + ... with
+    # theta^2 ~= n2/4 — a polynomial in n2, tangent-safe.
     generic_scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,  # Taylor of theta / (2 sin theta)
-        theta / (2.0 * jnp.where(jnp.abs(sin_theta) < 1e-12, 1.0, sin_theta)),
+        small_sin,
+        0.5 + n2 / 48.0,
+        theta_g / jnp.where(small_sin, 1.0, 2.0 * sin_theta),
     )
     w_generic = antisym * generic_scale[..., None]
+    # Near pi, recover theta from sin via arcsin (finite tangent at 0).
+    theta = jnp.where(
+        near_pi,
+        jnp.pi - jnp.arcsin(jnp.clip(0.5 * jnp.sqrt(n2 + 1e-24), 0.0, 1.0)),
+        theta_g,
+    )
 
     # Near-pi branch: axis_i = sqrt((R_ii - cos) / (1 - cos)); signs recovered
     # from off-diagonal sums R_ij + R_ji = 2 axis_i axis_j (1 - cos).
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     denom = jnp.where(jnp.abs(1.0 - cos_theta) < 1e-12, 1.0, 1.0 - cos_theta)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / denom[..., None], 0.0, None)
-    axis = jnp.sqrt(axis_sq)
+    # +1e-12 keeps the tangent finite where a component is exactly 0 (log is
+    # genuinely non-smooth at pi; this bounds rather than removes the kink).
+    axis = jnp.sqrt(axis_sq + 1e-12)
     # Resolve signs: use off-diagonal sums R_ij + R_ji = 2 axis_i axis_j (1-cos).
     # Pick the largest axis component as positive, derive others' signs from it.
     s01 = R[..., 0, 1] + R[..., 1, 0]
