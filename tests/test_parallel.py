@@ -140,3 +140,42 @@ class TestGraftEntry:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestSequenceParallel:
+    def test_sharded_matches_single_device(self):
+        """Chunked multi-device tracking must recover the same trajectory as
+        the sequential single-device path (same ATE bound)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from uwslam_tpu.camera import PinholeCamera
+        from uwslam_tpu.io import ate_rmse
+        from uwslam_tpu.lie import se3
+        from uwslam_tpu.parallel import SEQ_AXIS, track_sequence_sharded
+        from uwslam_tpu.tracking import compose_trajectory
+        from uwslam_tpu.utils.synthetic import render_plane_view
+
+        cam = PinholeCamera(fx=120.0, fy=120.0, cx=79.5, cy=59.5,
+                            width=160, height=120)
+        n = 9
+        poses = [
+            se3.exp(jnp.asarray(
+                [0.02 * i, 0.008 * i, 0.004 * i, 0.001 * i, -0.002 * i,
+                 0.003 * i], jnp.float32))
+            for i in range(n)
+        ]
+        frames = jnp.stack([render_plane_view(cam, T, 2.0) for T in poses])
+        mesh = Mesh(np.array(jax.devices()[:4]), (SEQ_AXIS,))
+        T_rel, inliers, errors = track_sequence_sharded(
+            frames, cam, mesh, mono_z=2.0, levels=4,
+            track_levels=(2, 1, 0), num_points=512, max_iters=12,
+        )
+        assert T_rel.shape == (n - 1, 4, 4)
+        T_wc = np.asarray(compose_trajectory(T_rel))
+        gt_wc = np.stack([np.asarray(se3.inverse(T)) for T in poses])
+        rmse = ate_rmse(T_wc[:, :3, 3], gt_wc[:, :3, 3])
+        assert rmse < 0.01, f"ATE {rmse}"
+        assert int(inliers.min()) > 200

@@ -1,4 +1,5 @@
-"""Multi-device scaling: landmark-sharded distributed BA over jax meshes."""
+"""Multi-device scaling: landmark-sharded distributed BA and
+sequence-parallel odometry over jax meshes."""
 from .dist_ba import AXIS, distributed_bundle_adjust, shard_problem
 from .runtime import (
     grid_mesh,
@@ -7,6 +8,7 @@ from .runtime import (
     landmark_mesh,
     primary_only_io,
 )
+from .sequence import SEQ_AXIS, track_sequence_sharded
 
 __all__ = [
     "distributed_bundle_adjust",
@@ -17,4 +19,6 @@ __all__ = [
     "grid_mesh",
     "is_primary",
     "primary_only_io",
+    "SEQ_AXIS",
+    "track_sequence_sharded",
 ]

@@ -241,7 +241,15 @@ def track(
     T = jnp.eye(4, dtype=jnp.float32) if T_init is None else T_init
     total_iters = jnp.asarray(0)
     last = None
-    for lvl in levels:
+    # max_iters may be one budget for all levels or a per-level schedule
+    # (aligned with `levels`, coarse first). Sampling cost scales with the
+    # level-0 image area, so "polish" budgets at fine levels buy most of the
+    # hot-loop time back with no accuracy loss (coarse levels do the motion).
+    iters_schedule = (
+        max_iters if isinstance(max_iters, tuple)
+        else tuple(max_iters for _ in levels)
+    )
+    for lvl, lvl_iters in zip(levels, iters_schedule):
         scale = 1.0 / (1 << lvl)
         cam_l = cam.scaled(lvl)
         uv_l = pts.uv * scale
@@ -260,7 +268,7 @@ def track(
             tgt.grad_x[lvl],
             tgt.grad_y[lvl],
             cam_l,
-            max_iters=max_iters,
+            max_iters=lvl_iters,
             weight_kind=weight_kind,
         )
         T = out.T
