@@ -117,3 +117,25 @@ class TestProfiling:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestVizServer:
+    def test_live_server_serves_overlay(self):
+        import urllib.request
+
+        from uwslam_tpu.viz import VizServer
+
+        srv = VizServer(port=0)  # ephemeral port
+        try:
+            est = np.cumsum(np.ones((10, 3)) * 0.1, axis=0)
+            srv.update(est, est + 0.01)
+            html = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/", timeout=5
+            ).read().decode()
+            assert "polyline" in html and "10 poses" in html
+            state = urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/state.json", timeout=5
+            ).read().decode()
+            assert '"frames": 10' in state
+        finally:
+            srv.close()

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="assumed scene depth for pure-mono tracking")
     p.add_argument("--num-points", type=int, default=2048,
                    help="tracked point budget per frame")
+    p.add_argument("--viz-port", type=int, default=None,
+                   help="serve a live trajectory view on this HTTP port "
+                        "(the reference's Rviz stream, without ROS)")
     return p
 
 
@@ -98,6 +101,18 @@ def main(argv=None) -> int:
     else:
         seq = open_directory(args.directory, start=args.start)
 
+    gt_rows_live = None
+    viz = None
+    if args.viz_port is not None:
+        from ..viz import VizServer
+
+        viz = VizServer(port=args.viz_port)
+        print(f"live view: http://127.0.0.1:{viz.port}", file=sys.stderr)
+        if args.tum_gt:
+            gt_rows_live = read_groundtruth_tum(args.tum_gt)
+        elif args.euroc_gt:
+            gt_rows_live = read_groundtruth_euroc(args.euroc_gt)
+
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     t0 = time.perf_counter()
     prefetcher = FramePrefetcher(seq)
@@ -114,6 +129,14 @@ def main(argv=None) -> int:
                 f"err={state.track_error:.3f} kf={state.is_keyframe}",
                 file=sys.stderr,
             )
+        if viz is not None and i % 5 == 0 and i > 0:
+            est = np.stack([s.T_wc[:3, 3] for s in system.trajectory])
+            gt_pos = (
+                gt_rows_live[: len(est), 1:4]
+                if gt_rows_live is not None and len(gt_rows_live)
+                else None
+            )
+            viz.update(est, gt_pos)
     prefetcher.close()
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
