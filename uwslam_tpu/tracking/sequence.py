@@ -56,32 +56,33 @@ def track_sequence(
         )
         return pyr, pts
 
-    # Batched pre-ingest: pyramids + gradients + point selection for ALL
-    # frames as one vmapped program (batched convolutions use the hardware
-    # far better than 1-frame convs inside the sequential scan; the scan
-    # below then carries only the inherently sequential LM chain).
-    if depth_frames is not None:
-        pyrs, ptss = jax.vmap(ingest)(frames, depth_frames)
-    else:
-        pyrs, ptss = jax.vmap(lambda f: ingest(f, None))(frames)
-
-    def take(tree, idx):
-        return jax.tree_util.tree_map(lambda x: x[idx], tree)
+    # Ingest stays INSIDE the scan: prebuilding all pyramids with vmap was
+    # measured 1.9x SLOWER end-to-end (147 vs 281 fps) — the (N, 5-level)
+    # pyramid stacks round-trip through HBM, while inline ingest fuses into
+    # the per-step program and its activations stay on-chip.
+    d0 = depth_frames[0] if depth_frames is not None else None
+    pyr0, pts0 = ingest(frames[0], d0)
 
     def step(carry, inputs):
         prev_pyr, prev_pts, T_init = carry
-        cur_pyr, cur_pts = inputs
+        if depth_frames is not None:
+            img, depth = inputs
+        else:
+            img, depth = inputs, None
+        cur_pyr, cur_pts = ingest(img, depth)
         out = track(
             prev_pyr, cur_pyr, prev_pts, cam,
             T_init=T_init, levels=track_levels, max_iters=max_iters,
         )
         return (cur_pyr, cur_pts, out.T), (out.T, out.inliers, out.error)
 
-    xs = (take(pyrs, slice(1, None)), take(ptss, slice(1, None)))
+    xs = (
+        (frames[1:], depth_frames[1:])
+        if depth_frames is not None
+        else frames[1:]
+    )
     _, (T_rel, inliers, errors) = jax.lax.scan(
-        step,
-        (take(pyrs, 0), take(ptss, 0), jnp.eye(4, dtype=jnp.float32)),
-        xs,
+        step, (pyr0, pts0, jnp.eye(4, dtype=jnp.float32)), xs
     )
     return T_rel, inliers, errors
 
