@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--viz-port", type=int, default=None,
                    help="serve a live trajectory view on this HTTP port "
                         "(the reference's Rviz stream, without ROS)")
+    p.add_argument("--map-out", default=None,
+                   help="write the keyframe map as a PLY point cloud")
+    p.add_argument("--checkpoint", default=None,
+                   help="save the session state here when done")
+    p.add_argument("--resume", default=None,
+                   help="resume a previously saved session checkpoint")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage timing breakdown")
     return p
 
 
@@ -90,9 +98,15 @@ def main(argv=None) -> int:
         use_features=args.features,
         use_ba=args.ba,
         use_loop_closure=args.loop_closure,
+        profile=args.profile,
         trajectory_csv=args.trajectory_out,
     )
     system = SlamSystem(calib, config)
+    if args.resume:
+        start_at = system.resume_from(args.resume)
+        print(f"resumed at frame {start_at}", file=sys.stderr)
+        if args.start == 0:
+            args.start = start_at  # continue at the next dataset index
 
     if args.euroc:
         seq = open_euroc(args.directory, start=args.start)
@@ -140,6 +154,14 @@ def main(argv=None) -> int:
     prefetcher.close()
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
+    if args.profile:
+        print(system.timers.report(), file=sys.stderr)
+    if args.map_out:
+        n_pts = system.export_map_ply(args.map_out)
+        print(f"map: {n_pts} points -> {args.map_out}", file=sys.stderr)
+    if args.checkpoint:
+        system.save_checkpoint(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
 
     ts, poses = system.export_trajectory(args.trajectory_out)
 

@@ -109,4 +109,5 @@ class SlamConfig:
     use_ba: bool = False                 # config-4+ windowed BA
     use_reloc: bool = True               # failure detection + relocalization
     use_loop_closure: bool = False       # loop detection + pose-graph correction
+    profile: bool = False                # per-stage timing (utils.profiling)
     trajectory_csv: str | None = None    # reference CSV dump equivalent

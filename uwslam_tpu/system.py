@@ -126,6 +126,11 @@ class SlamSystem:
         self._velocity = jnp.eye(4) # constant-velocity motion model T_prev<-cur
         self._frame_id = 0
         self.trajectory: list[FrameState] = []
+        from .utils.profiling import StageTimer
+
+        # sync=True fences the device per stage — accurate breakdowns, but
+        # only when profiling is requested (fencing costs throughput).
+        self.timers = StageTimer(sync=self.config.profile)
 
     # ------------------------------------------------------------------ ingest
 
@@ -305,16 +310,26 @@ class SlamSystem:
     ) -> FrameState:
         """Run the per-frame pipeline; returns the tracked camera pose."""
         cfg = self.config
+
+        def _sync(x):
+            if cfg.profile:
+                jax.block_until_ready(x)
+            return x
+
         ts = float(timestamp) if timestamp is not None else float(self._frame_id)
-        img = self._ingest(image)
-        pyr = build_pyramid(img, levels=cfg.tracker.pyramid_levels)
+        with self.timers.stage("ingest"):
+            img = self._ingest(image)
+            pyr = _sync(build_pyramid(img, levels=cfg.tracker.pyramid_levels))
         depth_dev = None
         if depth is not None:
             ddev = jnp.asarray(depth, jnp.float32)
             x0, y0, w, h = self._roi
             depth_dev = jax.lax.dynamic_slice(ddev, (y0, x0), (h, w))
 
-        cur_feats = self._detect_features(pyr) if cfg.use_features else None
+        with self.timers.stage("features"):
+            cur_feats = (
+                _sync(self._detect_features(pyr)) if cfg.use_features else None
+            )
 
         if self._prev is None:
             pts = self._select_points(pyr, depth_dev)
@@ -346,16 +361,18 @@ class SlamSystem:
                     prev_pts = feat_pts
             # Constant-velocity init: T_cur<-prev ~ last relative motion.
             T_init = self._velocity
-            out = track(
-                prev_pyr,
-                pyr,
-                prev_pts,
-                self.cam,
-                T_init=T_init,
-                levels=cfg.tracker.track_levels,
-                max_iters=cfg.tracker.max_iterations,
-                weight_kind=cfg.tracker.weight_kind,
-            )
+            with self.timers.stage("track"):
+                out = track(
+                    prev_pyr,
+                    pyr,
+                    prev_pts,
+                    self.cam,
+                    T_init=T_init,
+                    levels=cfg.tracker.track_levels,
+                    max_iters=cfg.tracker.max_iterations,
+                    weight_kind=cfg.tracker.weight_kind,
+                )
+                _sync(out.T)
             T_rel = out.T                     # cur <- prev
             inliers = int(out.inliers)
             capacity = int(prev_pts.valid.sum())
@@ -390,7 +407,8 @@ class SlamSystem:
                 self._T_wc = se3.normalize(
                     se3.compose(self._T_wc, se3.inverse(T_rel))
                 )
-            pts = self._select_points(pyr, depth_dev)
+            with self.timers.stage("select"):
+                pts = _sync(self._select_points(pyr, depth_dev))
             is_kf = status != "lost" and (
                 status == "relocalized"
                 or self.keyframes.should_insert(self._frame_id, self._T_wc, ratio)
@@ -405,7 +423,8 @@ class SlamSystem:
                     self._extend_tracks(prev_kf, kf)
                     self._kf_since_ba += 1
                     if self._kf_since_ba >= cfg.ba.run_every_n_keyframes:
-                        self._run_window_ba()
+                        with self.timers.stage("ba"):
+                            self._run_window_ba()
                         self._kf_since_ba = 0
             ref_kf = self.keyframes.latest
             T_kf_frame = np.asarray(
@@ -503,6 +522,88 @@ class SlamSystem:
         self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
 
     # ------------------------------------------------------------------ export
+
+    def export_map_ply(self, path: str, max_points: int = 20000) -> int:
+        """Write the current map as a PLY point cloud (the reference's
+        Map::AddPointCloudFromRGBD + point_cloud topic capability,
+        src/Visualizer.cpp:421-446 — it unprojects and subsamples; here the
+        cloud is every keyframe's tracked points lifted to world frame).
+        Returns the number of points written."""
+        from .viz import write_ply
+
+        clouds = []
+        for kf in self.keyframes.keyframes:
+            pts = np.asarray(kf.points.p3d)
+            valid = np.asarray(kf.points.valid)
+            p = pts[valid]
+            T = np.asarray(self._kf_poses.get(kf.frame_id, kf.T_wc))
+            clouds.append(p @ T[:3, :3].T + T[:3, 3])
+        if not clouds:
+            write_ply(path, np.zeros((0, 3), np.float32))
+            return 0
+        cloud = np.concatenate(clouds)
+        if len(cloud) > max_points:
+            step = -(-len(cloud) // max_points)
+            cloud = cloud[::step]
+        write_ply(path, cloud)
+        return len(cloud)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the session (SURVEY.md §5 checkpoint/resume: the reference
+        has none). Saved: trajectory records, keyframe poses, live pose,
+        frame counter."""
+        from .utils.checkpoint import save_session
+
+        traj = self.trajectory
+        state = {
+            "frame_id": np.asarray(self._frame_id),
+            "T_wc": np.asarray(self._T_wc),
+            "velocity": np.asarray(self._velocity),
+            "traj_ts": np.asarray([s.timestamp for s in traj]),
+            "traj_T": np.stack([s.T_wc for s in traj])
+            if traj else np.zeros((0, 4, 4), np.float32),
+            "traj_ref_kf": np.asarray([s.ref_kf_id for s in traj]),
+            "traj_T_kf": np.stack(
+                [s.T_kf_frame if s.T_kf_frame is not None
+                 else np.eye(4, dtype=np.float32) for s in traj]
+            ) if traj else np.zeros((0, 4, 4), np.float32),
+            "kf_ids": np.asarray(sorted(self._kf_poses.keys())),
+            "kf_poses": np.stack(
+                [self._kf_poses[k] for k in sorted(self._kf_poses.keys())]
+            ) if self._kf_poses else np.zeros((0, 4, 4), np.float32),
+        }
+        save_session(path, state)
+
+    def resume_from(self, path: str) -> int:
+        """Restore a saved session. Tracking re-bootstraps on the next frame
+        (pyramids are not checkpointed) but the trajectory, keyframe poses,
+        and live pose continue seamlessly. Returns the next frame index."""
+        from .utils.checkpoint import load_session
+
+        st = load_session(path)
+        self._frame_id = int(st["frame_id"])
+        self._T_wc = jnp.asarray(st["T_wc"])
+        self._velocity = jnp.asarray(st["velocity"])
+        self._kf_poses = {
+            int(k): np.asarray(T)
+            for k, T in zip(st["kf_ids"], st["kf_poses"])
+        }
+        self.trajectory = [
+            FrameState(
+                frame_id=i,
+                timestamp=float(st["traj_ts"][i]),
+                T_wc=np.asarray(st["traj_T"][i]),
+                tracked_inliers=0,
+                track_error=0.0,
+                is_keyframe=False,
+                ref_kf_id=int(st["traj_ref_kf"][i]),
+                T_kf_frame=np.asarray(st["traj_T_kf"][i]),
+            )
+            for i in range(len(st["traj_ts"]))
+        ]
+        self._prev = None       # re-bootstrap on the next frame
+        self._prev_feats = None
+        return self._frame_id
 
     def export_trajectory(self, path: str | None = None):
         """Export per-frame poses; frames are recomposed against the LATEST
