@@ -33,9 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="calibration XML (OpenCV FileStorage) or JSON")
     p.add_argument("-p", "--depth", default=None,
                    help="TUM depth image directory (optional)")
-    p.add_argument("--tum-gt", default=None,
+    # --TUM / --EUROC are the reference's exact flag spellings
+    # (include/args.hxx:3660-3661) and alias the descriptive names.
+    p.add_argument("--tum-gt", "--TUM", default=None,
                    help="TUM ground-truth file for ATE evaluation")
-    p.add_argument("--euroc-gt", default=None,
+    p.add_argument("--euroc-gt", "--EUROC", default=None,
                    help="EUROC ground-truth CSV for ATE evaluation")
     p.add_argument("--trajectory-out", default=None,
                    help="write estimated trajectory (TUM format)")
