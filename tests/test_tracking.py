@@ -165,3 +165,35 @@ class TestDensePoints:
         out = track(ref_pyr, tgt_pyr, pts, cam, levels=(2, 1, 0), max_iters=10)
         err = np.asarray(se3.log(se3.compose(se3.inverse(out.T), T_gt)))
         assert np.linalg.norm(err) < 1e-3, err
+
+
+class TestInverseCompositional:
+    def test_ic_matches_fc_accuracy(self):
+        """IC (constant reference-side Jacobian) must converge to the same
+        pose as FC on a synthetic pair."""
+        import numpy as np
+        import jax.numpy as jnp
+        from uwslam_tpu.camera import PinholeCamera
+        from uwslam_tpu.image import build_pyramid
+        from uwslam_tpu.lie import se3
+        from uwslam_tpu.tracking import track, topk_gradient_points
+        from uwslam_tpu.utils.synthetic import plane_depth, render_plane_view
+
+        cam = PinholeCamera(fx=120.0, fy=120.0, cx=79.5, cy=59.5,
+                            width=160, height=120)
+        T_gt = se3.exp(jnp.asarray([0.02, -0.01, 0.005, 0.004, -0.003, 0.008]))
+        ref = render_plane_view(cam, jnp.eye(4), 2.0)
+        tgt = render_plane_view(cam, T_gt, 2.0)
+        rp = build_pyramid(ref, levels=4)
+        tp = build_pyramid(tgt, levels=4)
+        depth = plane_depth(cam, jnp.eye(4), 2.0)
+        pts = topk_gradient_points(rp.images[0], rp.grad_mag[0], cam,
+                                   num_points=512)
+        u = pts.uv[:, 0].astype(jnp.int32).clip(0, 159)
+        v = pts.uv[:, 1].astype(jnp.int32).clip(0, 119)
+        pts = pts._replace(p3d=cam.unproject(pts.uv, depth[v, u]))
+        for mode in ("fc", "ic"):
+            out = track(rp, tp, pts, cam, levels=(2, 1, 0), max_iters=10,
+                        mode=mode)
+            err = np.asarray(se3.log(se3.compose(se3.inverse(out.T), T_gt)))
+            assert np.linalg.norm(err) < 5e-4, (mode, err)

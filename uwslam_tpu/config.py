@@ -29,6 +29,9 @@ class TrackerConfig:
                                          # | "dense" (ObtainAllPoints)
     dense_stride: int = 2                # pixel stride in dense mode
     weight_kind: WeightKind = WeightKind.HUBER
+    track_mode: str = "fc"               # "fc" | "ic" (inverse compositional:
+                                         # constant ref-side J, ~3x less
+                                         # sampling per LM iteration)
     mono_depth: float = 1.0              # z=1 when no depth (Tracker.cpp:1228)
     depth_factor: float = 0.0002         # TUM 16-bit depth scaling
     min_inliers: int = 100               # tracking-failure threshold

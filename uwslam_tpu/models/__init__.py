@@ -33,12 +33,21 @@ def windowed_ba_config(**overrides) -> SlamConfig:
     return SlamConfig(use_features=True, use_ba=True, **overrides)
 
 
+def full_slam_config(**overrides) -> SlamConfig:
+    """Everything on: features, window BA, relocalization, loop closure."""
+    return SlamConfig(
+        use_features=True, use_ba=True, use_reloc=True,
+        use_loop_closure=True, **overrides
+    )
+
+
 __all__ = [
     "FeatureVO",
     "FeatureVOState",
     "direct_odometry_config",
     "feature_slam_config",
     "windowed_ba_config",
+    "full_slam_config",
     "SlamConfig",
     "TrackerConfig",
     "FeatureConfig",

@@ -371,6 +371,7 @@ class SlamSystem:
                     levels=cfg.tracker.track_levels,
                     max_iters=cfg.tracker.max_iterations,
                     weight_kind=cfg.tracker.weight_kind,
+                    mode=cfg.tracker.track_mode,
                 )
                 _sync(out.T)
             T_rel = out.T                     # cur <- prev

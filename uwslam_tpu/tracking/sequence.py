@@ -26,7 +26,8 @@ from .points import topk_gradient_points
 @partial(
     jax.jit,
     static_argnames=(
-        "cam", "levels", "track_levels", "num_points", "max_iters", "block"
+        "cam", "levels", "track_levels", "num_points", "max_iters", "block",
+        "mode",
     ),
 )
 def track_sequence(
@@ -39,6 +40,7 @@ def track_sequence(
     num_points: int = 2048,
     max_iters: int = 10,
     block: int = 8,
+    mode: str = "fc",
 ):
     """Track a stacked sequence (N, H, W) -> relative poses (N-1, 4, 4).
 
@@ -73,6 +75,7 @@ def track_sequence(
         out = track(
             prev_pyr, cur_pyr, prev_pts, cam,
             T_init=T_init, levels=track_levels, max_iters=max_iters,
+            mode=mode,
         )
         return (cur_pyr, cur_pts, out.T), (out.T, out.inliers, out.error)
 
