@@ -86,3 +86,33 @@ class TestProfiling:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestDebugVisualizers:
+    def test_panels_written(self, tmp_path):
+        from uwslam_tpu.image import build_pyramid
+        from uwslam_tpu.tracking import topk_gradient_points
+        from uwslam_tpu.viz.debug import (
+            save_candidate_points,
+            save_jacobian_panels,
+            save_warped_panels,
+        )
+
+        ref = _frame(0)
+        tgt = _frame(1)
+        pyr = build_pyramid(jnp.asarray(ref), levels=3)
+        pts = topk_gradient_points(
+            pyr.images[0], pyr.grad_mag[0], CAM, num_points=256, mono_z=2.0
+        )
+        pts = pts._replace(p3d=CAM.unproject(pts.uv, jnp.full(256, 2.0)))
+        T = jnp.eye(4)
+        pfx = str(tmp_path / "dbg")
+        save_candidate_points(pfx + "_cand.png", ref, pts.uv, pts.valid)
+        save_warped_panels(pfx, ref, tgt, pts, T, CAM)
+        save_jacobian_panels(
+            pfx, (np.asarray(pyr.images[0]), np.asarray(pyr.grad_x[0]),
+                  np.asarray(pyr.grad_y[0])), pts, T, CAM,
+        )
+        for suffix in ("_cand.png", "_ref.png", "_tgt.png", "_warped.png",
+                       "_residual.png", "_J_vx.png", "_J_wz.png"):
+            assert os.path.getsize(pfx + suffix) > 500, suffix
