@@ -52,8 +52,13 @@ def _sample_stack(stacked: jax.Array, uv: jax.Array):
     no HBM round-trip of the (C, N, W) intermediate; bit-exact vs the XLA
     formulation on TPU) when the point count tiles evenly; falls back to
     the two-einsum XLA version otherwise."""
+    import os
+
     n = uv.shape[0]
-    if jax.default_backend() == "tpu":
+    # Opt-in: the kernel is bit-exact and VMEM-resident, but compiling it
+    # inside the scan+while_loop tracking program takes many minutes through
+    # this rig's remote-TPU tunnel — too slow for time-boxed benchmark runs.
+    if os.environ.get("UWSLAM_PALLAS") and jax.default_backend() == "tpu":
         for tile in (512, 256, 128):
             if n % tile == 0:
                 from ..ops.pallas_sample import pallas_bilinear_sample
