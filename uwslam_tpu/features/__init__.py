@@ -8,7 +8,7 @@ from .geometry import (
     triangulate_linear,
 )
 from .match import Matches, match_descriptors
-from .pnp import PnPResult, pnp_ransac
+from .pnp import PnPResult, pnp_from_pixels, pnp_ransac
 from .ransac import (
     RansacResult,
     essential_ransac,
@@ -27,6 +27,7 @@ __all__ = [
     "match_descriptors",
     "PnPResult",
     "pnp_ransac",
+    "pnp_from_pixels",
     "RansacResult",
     "fundamental_ransac",
     "essential_ransac",

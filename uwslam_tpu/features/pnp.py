@@ -111,13 +111,14 @@ def _planar_poses(p3d: jax.Array, xy: jax.Array):
     return pose_from(lam), pose_from(-lam)
 
 
-def _reproj_sq(T: jax.Array, p3d: jax.Array, xy: jax.Array):
-    """Squared reprojection error in normalized coords; behind-camera points
-    get +inf so they can never count as inliers."""
+def _reproj_sq(T: jax.Array, p3d: jax.Array, xy: jax.Array, scale):
+    """Squared reprojection error, per-axis scaled (pass (fx, fy) to measure
+    in PIXELS with anisotropic focals); behind-camera points get +inf so
+    they can never count as inliers."""
     pc = p3d @ T[:3, :3].T + T[:3, 3]
     z = pc[:, 2]
     proj = pc[:, :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)[:, None]
-    d = jnp.sum((proj - xy) ** 2, axis=-1)
+    d = jnp.sum(((proj - xy) * scale) ** 2, axis=-1)
     return jnp.where(z > 1e-6, d, jnp.inf)
 
 
@@ -127,6 +128,7 @@ def _gn_polish_pose(
     xy: jax.Array,
     valid: jax.Array,
     t2: float,
+    scale,
     iters: int = 8,
 ):
     """Robust Gauss-Newton on SE(3) minimizing truncated reprojection error."""
@@ -135,10 +137,10 @@ def _gn_polish_pose(
     def residuals(T):
         pc = p3d @ T[:3, :3].T + T[:3, 3]
         z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
-        return pc[:, :2] / z[:, None] - xy  # (K, 2)
+        return (pc[:, :2] / z[:, None] - xy) * scale  # (K, 2)
 
     def score(T):
-        d = _reproj_sq(T, p3d, xy)
+        d = _reproj_sq(T, p3d, xy, scale)
         return jnp.where(valid, jnp.minimum(d, t2), 0.0).sum()
 
     def step(carry, _):
@@ -150,7 +152,7 @@ def _gn_polish_pose(
         xi0 = jnp.zeros(6)
         r = r_of(xi0)
         J = jax.jacfwd(r_of)(xi0)  # (2K, 6)
-        d = _reproj_sq(T, p3d, xy)
+        d = _reproj_sq(T, p3d, xy, scale)
         wr = jnp.repeat(vw * jnp.where(d < t2, 1.0 / (1.0 + d / t2), 0.0), 2)
         A = jnp.einsum("ki,k,kj->ij", J, wr, J, precision=HIGHEST)
         g = jnp.einsum("ki,k->i", J, wr * r, precision=HIGHEST)
@@ -176,15 +178,22 @@ def pnp_ransac(
     threshold_norm: float = 3.0 / 500.0,
     num_hypotheses: int = 128,
     min_inliers: int = 12,
+    axis_scale=(1.0, 1.0),
 ) -> PnPResult:
     """Robust camera pose from 2D-3D matches.
 
     p3d: (K, 3) points in the reference frame; xy: (K, 2) NORMALIZED image
     coords of their observations; valid: (K,) mask. Returns T (camera <-
     reference) with MSAC-selected inliers and a GN polish from the top-4
-    hypotheses."""
+    hypotheses.
+
+    axis_scale: per-axis residual scaling. Pass (fx, fy) together with a
+    threshold in PIXELS to measure error isotropically in pixels even with
+    anisotropic focals (a single normalized threshold under-tolerates the
+    y axis when fy < fx)."""
     K = p3d.shape[0]
     t2 = threshold_norm * threshold_norm
+    scale = jnp.asarray(axis_scale, jnp.float32)
 
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (num_hypotheses, K), minval=1e-9, maxval=1.0)
@@ -200,7 +209,7 @@ def pnp_ransac(
     Ts = jax.vmap(solve_one)(sample_idx).reshape(-1, 4, 4)  # (3H, 4, 4)
 
     def msac(T):
-        d = _reproj_sq(T, p3d, xy)
+        d = _reproj_sq(T, p3d, xy, scale)
         inl = valid & (d < t2)
         return inl, jnp.where(valid, jnp.minimum(d, t2), 0.0).sum()
 
@@ -208,7 +217,7 @@ def pnp_ransac(
     k = min(4, num_hypotheses)
     _, top_idx = jax.lax.top_k(-scores_h, k)
     T_pol, score_pol = jax.vmap(
-        lambda T: _gn_polish_pose(T, p3d, xy, valid, t2)
+        lambda T: _gn_polish_pose(T, p3d, xy, valid, t2, scale)
     )(Ts[top_idx])
     j = jnp.argmax(-score_pol)
     T_best = T_pol[j]
@@ -216,3 +225,27 @@ def pnp_ransac(
     n = inliers.sum()
     return PnPResult(T=T_best, inliers=inliers, num_inliers=n,
                      ok=n >= min_inliers)
+
+
+def pnp_from_pixels(
+    cam,
+    p3d: jax.Array,
+    uv: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    threshold_px: float = 3.0,
+    num_hypotheses: int = 128,
+    min_inliers: int = 12,
+) -> PnPResult:
+    """PnP from PIXEL observations: normalizes with the camera intrinsics and
+    thresholds in pixels (per-axis exact). The shared entry for
+    relocalization and loop-closure verification."""
+    f = jnp.asarray([cam.fx, cam.fy], jnp.float32)
+    c = jnp.asarray([cam.cx, cam.cy], jnp.float32)
+    return pnp_ransac(
+        p3d, (uv - c) / f, valid, key,
+        threshold_norm=threshold_px,
+        num_hypotheses=num_hypotheses,
+        min_inliers=min_inliers,
+        axis_scale=(float(cam.fx), float(cam.fy)),
+    )

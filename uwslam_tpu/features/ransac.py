@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..lie import so3
 from ..utils.precision import HIGHEST
 
 RANSAC_THRESH_PX = 3.0   # reference src/Tracker.cpp:150
@@ -94,26 +95,6 @@ def _project_essential(F: jax.Array) -> jax.Array:
     return (U * jnp.array([s, s, 0.0])[None, :]) @ Vt
 
 
-def _hat(w: jax.Array) -> jax.Array:
-    return jnp.array(
-        [
-            [0.0, -w[2], w[1]],
-            [w[2], 0.0, -w[0]],
-            [-w[1], w[0], 0.0],
-        ]
-    )
-
-
-def _rot_exp(w: jax.Array) -> jax.Array:
-    """Rodrigues: exp of a rotation vector (small-angle safe)."""
-    th2 = jnp.dot(w, w)
-    th = jnp.sqrt(th2 + 1e-24)
-    A = jnp.sin(th) / th
-    B = (1.0 - jnp.cos(th)) / (th2 + 1e-24)
-    W = _hat(w)
-    return jnp.eye(3) + A * W + B * (W @ W)
-
-
 def _decompose_rt(E: jax.Array):
     """One (R, t) with [t]x R proportional to E (Sampson is sign-invariant,
     so any of the four decompositions parameterizes the same manifold point)."""
@@ -156,7 +137,7 @@ def _gn_polish_essential(
         return b1, b2
 
     def residuals(R, t):
-        E = _hat(t) @ R
+        E = so3.hat(t) @ R
         Ex = ha @ E.T       # (K,3) rows E @ xa
         Etx = hb @ E        # rows E^T xb
         num = jnp.sum(hb * Ex, axis=-1)
@@ -176,7 +157,7 @@ def _gn_polish_essential(
 
         def r_of(theta):
             w, a = theta[:3], theta[3:]
-            Rn = R @ _rot_exp(w)
+            Rn = R @ so3.exp(w)
             tn = t + a[0] * b1 + a[1] * b2
             tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
             return residuals(Rn, tn)
@@ -190,7 +171,7 @@ def _gn_polish_essential(
         g = jnp.einsum("ki,k->i", J, wrob * r, precision=HIGHEST)
         delta = -jnp.linalg.solve(A + 1e-8 * jnp.eye(5), g)
         w, a = delta[:3], delta[3:]
-        Rn = R @ _rot_exp(w)
+        Rn = R @ so3.exp(w)
         tn = t + a[0] * b1 + a[1] * b2
         tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
         s = score(Rn, tn)
@@ -204,7 +185,7 @@ def _gn_polish_essential(
     (Rl, tl, bR, bt, bs), _ = jax.lax.scan(
         step, (R0, t0, R0, t0, s0), None, length=iters
     )
-    E = _hat(bt) @ bR
+    E = so3.hat(bt) @ bR
     return E / jnp.maximum(jnp.linalg.norm(E), 1e-12), bs
 
 

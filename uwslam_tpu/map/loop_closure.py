@@ -99,8 +99,7 @@ class LoopCloser:
     def detect(self, key=None) -> LoopEdge | None:
         """Try to close a loop for the LATEST keyframe. Returns the accepted
         edge (also appended to self.loop_edges) or None."""
-        from ..features import match_descriptors
-        from ..features.pnp import pnp_ransac
+        from ..features import match_descriptors, pnp_from_pixels
 
         cfg = self.config
         j = len(self.history) - 1
@@ -112,8 +111,6 @@ class LoopCloser:
         sims = G @ cur.global_desc                        # (N,)
         order = np.argsort(-sims)[: cfg.max_candidates]
         key = key if key is not None else jax.random.PRNGKey(j)
-        f = jnp.asarray([self.cam.fx, self.cam.fy])
-        c = jnp.asarray([self.cam.cx, self.cam.cy])
         for n in order:
             if sims[n] < cfg.min_similarity:
                 break
@@ -123,10 +120,10 @@ class LoopCloser:
             )
             if int(m.valid.sum()) < cfg.min_matches:
                 continue
-            xy = (cur.kp_uv[m.idx_b] - c) / f
-            res = pnp_ransac(
-                cand.kp_p3d[m.idx_a], xy, m.valid, key,
-                threshold_norm=cfg.pnp_threshold_px / float(self.cam.fx),
+            res = pnp_from_pixels(
+                self.cam, cand.kp_p3d[m.idx_a], cur.kp_uv[m.idx_b],
+                m.valid, key,
+                threshold_px=cfg.pnp_threshold_px,
                 min_inliers=cfg.pnp_min_inliers,
             )
             if not bool(res.ok):
@@ -140,6 +137,22 @@ class LoopCloser:
             self.loop_edges.append(edge)
             return edge
         return None
+
+    def update_poses(self, refined: dict[int, np.ndarray]) -> None:
+        """Sync history with externally refined poses (window BA): without
+        this, the next pose-graph optimization would start from the stale
+        insertion-time chain and silently revert the BA refinements."""
+        changed = False
+        for k, r in enumerate(self.history):
+            T = refined.get(r.frame_id)
+            if T is not None:
+                self.history[k] = r._replace(T_wc=np.asarray(T, np.float32))
+                changed = True
+        if changed:
+            self.odo_rel = [
+                np.linalg.inv(self.history[k].T_wc) @ self.history[k + 1].T_wc
+                for k in range(len(self.history) - 1)
+            ]
 
     # ------------------------------------------------------------ correction
 

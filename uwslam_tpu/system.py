@@ -173,13 +173,15 @@ class SlamSystem:
             from .tracking.points import _depth_at
 
             kps, desc = cur_feats
-            depth, _ = _depth_at(
+            depth, depth_ok = _depth_at(
                 depth_dev, kps.uv, self.config.tracker.mono_depth
             )
             kf = kf._replace(
                 kp_uv=kps.uv,
                 kp_desc=desc,
-                kp_valid=kps.valid,
+                # Keypoints over depth holes would carry the mono fallback
+                # depth — wrong 3D that poisons PnP; mask them out.
+                kp_valid=kps.valid & depth_ok,
                 kp_p3d=self.cam.unproject(kps.uv, depth),
             )
         return kf
@@ -212,19 +214,18 @@ class SlamSystem:
     def _relocalize(self, cur_feats, pyr):
         """Try PnP against the most recent keyframes (newest first).
 
-        Returns (T_wc, kf_id) on success, None otherwise. The reference has
-        no equivalent — tracking failure goes undetected (SURVEY.md §5)."""
+        Returns (T_wc, kf_id, cur_feats) on success, None otherwise — the
+        detected features are returned so the caller can reuse them instead
+        of re-running the front-end. The reference has no equivalent —
+        tracking failure goes undetected (SURVEY.md §5)."""
         import jax.random as jrandom
 
-        from .features import match_descriptors
-        from .features.pnp import pnp_ransac
+        from .features import match_descriptors, pnp_from_pixels
 
         rcfg = self.config.reloc
         if cur_feats is None:
             cur_feats = self._detect_features(pyr)
         kps, desc = cur_feats
-        f = jnp.asarray([self.cam.fx, self.cam.fy])
-        c = jnp.asarray([self.cam.cx, self.cam.cy])
         for kf in reversed(self.keyframes.keyframes[-rcfg.max_candidates:]):
             if kf.kp_desc is None or kf.kp_p3d is None:
                 continue
@@ -234,11 +235,10 @@ class SlamSystem:
             )
             if int(m.valid.sum()) < rcfg.pnp_min_inliers:
                 continue
-            xy = (kps.uv[m.idx_b] - c) / f
-            res = pnp_ransac(
-                kf.kp_p3d[m.idx_a], xy, m.valid,
+            res = pnp_from_pixels(
+                self.cam, kf.kp_p3d[m.idx_a], kps.uv[m.idx_b], m.valid,
                 jrandom.PRNGKey(self._frame_id),
-                threshold_norm=rcfg.pnp_threshold_px / float(self.cam.fx),
+                threshold_px=rcfg.pnp_threshold_px,
                 min_inliers=rcfg.pnp_min_inliers,
             )
             if bool(res.ok):
@@ -247,7 +247,7 @@ class SlamSystem:
                     se3.compose(kf.T_wc, se3.inverse(jnp.asarray(T_cam_kf)))
                 )
                 if bool(jnp.isfinite(T_wc).all()):
-                    return T_wc, kf.frame_id
+                    return T_wc, kf.frame_id, cur_feats
         return None
 
     def _detect_features(self, pyr):
@@ -383,8 +383,12 @@ class SlamSystem:
             # pose, SURVEY.md §5). A frame is LOST when inliers collapse, the
             # error explodes, or the pose goes non-finite.
             rcfg = cfg.reloc
+            # Absolute floor, clamped with slack when the point budget is
+            # small (a 64-point budget with 63 inliers is healthy tracking,
+            # not a failure).
+            inlier_floor = min(rcfg.min_inliers, int(0.5 * capacity))
             lost = cfg.use_reloc and (
-                inliers < min(rcfg.min_inliers, capacity)
+                inliers < inlier_floor
                 or ratio < rcfg.min_inlier_ratio
                 or not bool(jnp.isfinite(out.error))
                 or float(out.error) > rcfg.max_error
@@ -394,7 +398,7 @@ class SlamSystem:
             if lost:
                 reloc = self._relocalize(cur_feats, pyr)
                 if reloc is not None:
-                    self._T_wc, _ = reloc
+                    self._T_wc, _, cur_feats = reloc
                     self._velocity = jnp.eye(4)
                     status = "relocalized"
                 else:
@@ -519,6 +523,13 @@ class SlamSystem:
         for i, k in enumerate(kfs):
             kfs[i] = k._replace(T_wc=T_new_wc[i])
             self._kf_poses[k.frame_id] = np.asarray(T_new_wc[i])
+        if self._loops is not None:
+            # Keep the loop-closure history consistent with BA refinements,
+            # or the next pose-graph run would revert them.
+            self._loops.update_poses(
+                {k.frame_id: np.asarray(T_new_wc[i])
+                 for i, k in enumerate(kfs)}
+            )
         correction = se3.compose(T_new_wc[-1], se3.inverse(last_old))
         self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
 

@@ -219,7 +219,9 @@ def lm_level(
             lam=lam_next,
             k=s.k + 1,
             done=done,
-            n_inlier=jnp.sum(valid),
+            # Inlier count of the BEST pose, not of a possibly-rejected
+            # candidate — callers gate tracking failure on it.
+            n_inlier=jnp.where(accept, jnp.sum(valid), s.n_inlier),
         )
 
     delta0 = solve_from(r0, J0, jnp.asarray(init_lambda, T0.dtype))
@@ -336,7 +338,7 @@ def lm_level_ic(
             T=T_next, T_best=T_base, r_best=r_base, valid_best=v_base,
             error=err_base, lam=lam_next, k=s.k + 1,
             done=(accept & small) | (lam_next > 500.0) | ~ok,
-            n_inlier=jnp.sum(valid),
+            n_inlier=jnp.where(accept, jnp.sum(valid), s.n_inlier),
         )
 
     delta0 = solve_from(r0, valid0, jnp.asarray(init_lambda, T0.dtype))
