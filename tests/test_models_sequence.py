@@ -10,7 +10,11 @@ from uwslam_tpu.camera import PinholeCamera
 from uwslam_tpu.io import ate_rmse
 from uwslam_tpu.lie import se3
 from uwslam_tpu.models import FeatureVO
-from uwslam_tpu.tracking import compose_trajectory, track_sequence
+from uwslam_tpu.tracking import (
+    compose_trajectory,
+    track_sequence,
+    track_sequence_batched,
+)
 from uwslam_tpu.utils.checkpoint import load_session, save_session
 from uwslam_tpu.utils.profiling import StageTimer
 from uwslam_tpu.utils.synthetic import render_plane_view
@@ -47,6 +51,24 @@ class TestTrackSequence:
         )
         assert rmse < 0.01, f"ATE {rmse}"
         assert int(inliers.min()) > 200
+
+    def test_batched_matches_scan(self):
+        """Data-parallel pair tracking recovers the same trajectory as the
+        sequential scan path (identity init is inside the convergence basin
+        for adjacent-frame motion)."""
+        frames, T_cw = make_frames(6)
+        T_rel_b, inliers_b, _ = track_sequence_batched(
+            frames, CAM, mono_z=2.0, levels=4, track_levels=(2, 1, 0),
+            num_points=512, max_iters=12, block=4,
+        )
+        assert T_rel_b.shape == (5, 4, 4)
+        T_wc = compose_trajectory(T_rel_b)
+        gt_wc = jnp.stack([se3.inverse(T) for T in T_cw])
+        rmse = ate_rmse(
+            np.asarray(T_wc[:, :3, 3]), np.asarray(gt_wc[:, :3, 3])
+        )
+        assert rmse < 0.01, f"ATE {rmse}"
+        assert int(inliers_b.min()) > 200
 
     def test_compose_trajectory_identity(self):
         T_rel = jnp.stack([jnp.eye(4)] * 4)

@@ -1,12 +1,13 @@
 """Direct photometric tracking over SE(3)."""
 from .photometric import TrackResult, lm_level, residuals_and_jacobian, track
-from .sequence import compose_trajectory, track_sequence
+from .sequence import compose_trajectory, track_sequence, track_sequence_batched
 from .points import TUM_DEPTH_FACTOR, TrackPoints, patch_points, topk_gradient_points
 from .robust import WeightKind, mad_sigma, masked_median, weights
 
 __all__ = [
     "track",
     "track_sequence",
+    "track_sequence_batched",
     "compose_trajectory",
     "lm_level",
     "residuals_and_jacobian",

@@ -90,6 +90,75 @@ def track_sequence(
     return T_rel, inliers, errors
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "levels", "track_levels", "num_points", "max_iters", "block",
+        "mode",
+    ),
+)
+def track_sequence_batched(
+    frames: jax.Array,
+    cam: PinholeCamera,
+    depth_frames: jax.Array | None = None,
+    mono_z: float = 1.0,
+    levels: int = 5,
+    track_levels: tuple[int, ...] = (3, 2, 1, 0),
+    num_points: int = 2048,
+    max_iters: int = 10,
+    block: int = 8,
+    mode: str = "fc",
+):
+    """Fully data-parallel sequence tracking: every adjacent frame pair is an
+    independent vmapped LM problem (identity initialization).
+
+    Where `track_sequence` scans frames sequentially (carrying a
+    constant-velocity prior — the robust choice for live odometry), this
+    variant removes the serial dependency entirely: ingest is vmapped over
+    frames and the coarse-to-fine LM runs vmapped over all N-1 pairs, so the
+    per-iteration sampling contractions become one large batched matmul on the
+    MXU instead of N-1 small dispatches inside a scan. Measured on v5e at
+    640x480/2048 pts: ~1.65x over the scan path (788 vs 477 frames/s at a
+    96-frame chunk) at equal ATE on the synthetic benchmark sequence.
+
+    Identity init assumes adjacent-frame motion is within the coarse level's
+    convergence basin (the reference's own operating regime — it never uses a
+    motion prior either, src/Tracker.cpp:654 starts from identity). For fast
+    motion prefer `track_sequence`.
+
+    Returns (T_rel (N-1,4,4), inliers (N-1,), errors (N-1,)) with T_rel[i]
+    mapping frame-i coordinates to frame-i+1 coordinates.
+    """
+
+    def ingest(img, depth_img):
+        pyr = build_pyramid(img, levels=levels)
+        pts = topk_gradient_points(
+            pyr.images[0], pyr.grad_mag[0], cam,
+            depth_image=depth_img, num_points=num_points,
+            mono_z=mono_z, block=block,
+        )
+        return pyr, pts
+
+    if depth_frames is not None:
+        pyrs, pts = jax.vmap(ingest)(frames, depth_frames)
+    else:
+        pyrs, pts = jax.vmap(lambda f: ingest(f, None))(frames)
+
+    ref_pyr = jax.tree.map(lambda x: x[:-1], pyrs)
+    tgt_pyr = jax.tree.map(lambda x: x[1:], pyrs)
+    ref_pts = jax.tree.map(lambda x: x[:-1], pts)
+
+    def one(rp, tp, p):
+        out = track(
+            rp, tp, p, cam, T_init=None,
+            levels=track_levels, max_iters=max_iters, mode=mode,
+        )
+        return out.T, out.inliers, out.error
+
+    T_rel, inliers, errors = jax.vmap(one)(ref_pyr, tgt_pyr, ref_pts)
+    return T_rel, inliers, errors
+
+
 def compose_trajectory(T_rel: jax.Array) -> jax.Array:
     """Relative poses (N-1, 4, 4) (cur <- prev) -> world poses (N, 4, 4)
     T_wc with frame 0 at identity, via an associative scan (log-depth compose).
