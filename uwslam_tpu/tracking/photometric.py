@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from ..camera.model import PinholeCamera
-from ..image.pyramid import FramePyramid, bilinear_sample, bilinear_sample_dense
+from ..image.pyramid import (
+    FramePyramid,
+    bilinear_sample,
+    bilinear_sample_auto,
+    bilinear_sample_dense,
+)
 from ..lie import se3, so3
 from ..utils.precision import HIGHEST
 from .points import TrackPoints
@@ -278,8 +283,12 @@ def lm_level_ic(
     reference, composed inversely).
     """
     # Constant J from reference gradients at the reference pixels.
-    gx, _ = bilinear_sample(ref_grad_x, pts.uv)
-    gy, _ = bilinear_sample(ref_grad_y, pts.uv)
+    if _use_mxu_sampling():
+        gvals, _ = _sample_stack(jnp.stack([ref_grad_x, ref_grad_y]), pts.uv)
+        gx, gy = gvals[0], gvals[1]
+    else:
+        gx, _ = bilinear_sample(ref_grad_x, pts.uv)
+        gy, _ = bilinear_sample(ref_grad_y, pts.uv)
     Jp = cam.project_jacobian(pts.p3d)                 # (N, 2, 3) at identity
     g = gx[..., None] * Jp[..., 0, :] + gy[..., None] * Jp[..., 1, :]
     Jw = jnp.einsum("nj,njk->nk", g, -so3.hat(pts.p3d), precision=HIGHEST)
@@ -415,7 +424,7 @@ def track(
         scale = 1.0 / (1 << lvl)
         cam_l = cam.scaled(lvl)
         uv_l = pts.uv * scale
-        ref_int_l, ref_ok = bilinear_sample(ref.images[lvl], uv_l)
+        ref_int_l, ref_ok = bilinear_sample_auto(ref.images[lvl], uv_l)
         pts_l = TrackPoints(
             uv=uv_l,
             p3d=pts.p3d,

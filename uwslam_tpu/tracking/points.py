@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera.model import PinholeCamera
-from ..image.pyramid import bilinear_sample
+from ..image.pyramid import bilinear_sample, bilinear_sample_auto
 
 TUM_DEPTH_FACTOR = 0.0002  # reference src/Tracker.cpp:1223
 
@@ -45,7 +45,12 @@ def _depth_at(depth_image, uv, mono_z: float):
         d = jnp.full(uv.shape[:-1], mono_z, dtype=jnp.float32)
         ok = jnp.ones(uv.shape[:-1], dtype=bool)
         return d, ok
-    d, inb = bilinear_sample(depth_image, uv)
+    # HIGHEST precision: bf16 MXU truncation of 16-bit depth values would
+    # cost ~0.4% range error; intensity sampling below tolerates it, depth
+    # geometry should not.
+    d, inb = bilinear_sample_auto(
+        depth_image, uv, precision=jax.lax.Precision.HIGHEST
+    )
     d = d * TUM_DEPTH_FACTOR
     ok = inb & (d > 1e-6)
     return jnp.where(ok, d, mono_z), ok
@@ -99,7 +104,7 @@ def topk_gradient_points(
 
     depth, dok = _depth_at(depth_image, uv, mono_z)
     p3d = cam.unproject(uv, depth)
-    intensity, iok = bilinear_sample(image, uv)
+    intensity, iok = bilinear_sample_auto(image, uv)
     valid = (top_val > 0) & dok & iok
     return TrackPoints(uv=uv, p3d=p3d, intensity=intensity, valid=valid)
 
@@ -130,11 +135,21 @@ def dense_points(
         (uv[:, 0] >= border) & (uv[:, 0] < W - border)
         & (uv[:, 1] >= border) & (uv[:, 1] < H - border)
     )
-    depth, dok = _depth_at(depth_image, uv, mono_z)
+    # The grid is exactly the strided integer pixels — read values by
+    # slicing, no sampling op (a one-hot sampler here would build an
+    # (H*W, H) weight matrix; a gather would serialize).
+    Hs, Ws = H - (H % stride), W - (W % stride)
+    intensity = image[:Hs:stride, :Ws:stride].ravel()
+    if depth_image is None:
+        depth = jnp.full(intensity.shape, mono_z, dtype=jnp.float32)
+        dok = jnp.ones(intensity.shape, dtype=bool)
+    else:
+        d = depth_image[:Hs:stride, :Ws:stride].ravel() * TUM_DEPTH_FACTOR
+        dok = d > 1e-6
+        depth = jnp.where(dok, d, mono_z)
     p3d = cam.unproject(uv, depth)
-    intensity, iok = bilinear_sample(image, uv)
     return TrackPoints(
-        uv=uv, p3d=p3d, intensity=intensity, valid=interior & dok & iok
+        uv=uv, p3d=p3d, intensity=intensity, valid=interior & dok
     )
 
 
@@ -169,7 +184,7 @@ def patch_points(
     )
     depth, dok = _depth_at(depth_image, uv, mono_z)
     p3d = cam.unproject(uv, depth)
-    intensity, iok = bilinear_sample(image, uv)
+    intensity, iok = bilinear_sample_auto(image, uv)
     return TrackPoints(
         uv=uv, p3d=p3d, intensity=intensity,
         valid=valid_kp & inb & dok & iok,
