@@ -17,7 +17,7 @@ stacked = jnp.stack([render_plane_view(cam, T, 2.0).block_until_ready() for T in
 def run_chunk(fr):
     T_rel, _, _ = track_sequence_batched(
         fr, cam, mono_z=2.0, levels=5, track_levels=(3,2,1,0),
-        num_points=2048, max_iters=(12,8,5,3))
+        num_points=2048, max_iters=(12,8,5,3), mode=__import__('os').environ.get('M','fc'))
     return T_rel
 
 run = jax.jit(run_chunk)

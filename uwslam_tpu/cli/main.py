@@ -67,7 +67,112 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume a previously saved session checkpoint")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage timing breakdown")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR "
+                        "(view with TensorBoard/XProf)")
+    p.add_argument("--track-mode", choices=("fc", "ic"), default="fc",
+                   help="photometric LM flavor: forward-compositional or "
+                        "inverse-compositional (constant reference Jacobian; "
+                        "~20%% faster on TPU)")
+    p.add_argument("--offline", action="store_true",
+                   help="throughput mode: batch the whole dataset through the "
+                        "data-parallel tracker (vmapped over frame pairs) "
+                        "instead of the live per-frame pipeline; odometry "
+                        "only (no keyframes/BA/loop closure)")
+    p.add_argument("--chunk", type=int, default=64,
+                   help="frames per device batch in --offline mode")
     return p
+
+
+def run_offline(args, system, config, seq) -> int:
+    """Offline odometry: the dataset as chunks of one big device program.
+
+    The TPU-native answer to the reference's strictly sequential frame loop
+    (src/main_uw_slam.cpp:139-151): ingest is vmapped over frames and the
+    coarse-to-fine LM runs vmapped over all adjacent pairs
+    (tracking.track_sequence_batched). Chunks overlap by one frame so
+    relative poses chain exactly across chunk boundaries.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io import (
+        FramePrefetcher,
+        associate,
+        ate_rmse,
+        read_groundtruth_euroc,
+        read_groundtruth_tum,
+    )
+    from ..tracking import compose_trajectory, track_sequence_batched
+
+    tcfg = config.tracker
+
+    n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
+    imgs, depths = [], []
+    prefetcher = FramePrefetcher(seq)
+    for i, (img, depth) in prefetcher:
+        if i >= n:
+            break
+        imgs.append(system._ingest(img))
+        if depth is not None:
+            d = jnp.asarray(depth, jnp.float32)
+            x0, y0, w, h = system._roi
+            depths.append(jax.lax.dynamic_slice(d, (y0, x0), (h, w)))
+    prefetcher.close()
+    n = len(imgs)
+    if n < 2:
+        print("offline mode needs >= 2 frames", file=sys.stderr)
+        return 1
+    has_depth = len(depths) == n
+
+    chunk = max(2, args.chunk)
+    T_rel_all = []
+    t0 = time.perf_counter()
+    s = 0
+    while s < n - 1:
+        e = min(s + chunk, n)
+        fr = jnp.stack(imgs[s:e])
+        dfr = jnp.stack(depths[s:e]) if has_depth else None
+        T_rel, _, _ = track_sequence_batched(
+            fr, system.cam, depth_frames=dfr,
+            mono_z=tcfg.mono_depth, levels=tcfg.pyramid_levels,
+            track_levels=tcfg.track_levels, num_points=tcfg.num_points,
+            max_iters=tcfg.max_iterations, mode=tcfg.track_mode,
+        )
+        T_rel_all.append(T_rel)
+        s = e - 1  # overlap one frame so relative poses chain exactly
+    T_rel = jnp.concatenate(T_rel_all)
+    poses = np.asarray(compose_trajectory(T_rel))
+    dt = time.perf_counter() - t0
+    print(
+        f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps, offline)",
+        file=sys.stderr,
+    )
+
+    ts = (
+        np.asarray(seq.timestamps[:n])  # readers already applied --start
+        if seq.timestamps is not None
+        else np.arange(n, dtype=np.float64)
+    )
+    if args.trajectory_out:
+        from ..io import write_trajectory_tum
+
+        write_trajectory_tum(args.trajectory_out, ts, poses)
+
+    gt_rows = None
+    if args.tum_gt:
+        gt_rows = read_groundtruth_tum(args.tum_gt)
+    elif args.euroc_gt:
+        gt_rows = read_groundtruth_euroc(args.euroc_gt)
+    if gt_rows is not None and len(gt_rows):
+        ia, ib = associate(np.asarray(ts), gt_rows[:, 0], max_dt=0.05)
+        if len(ia) >= 3:
+            rmse = ate_rmse(poses[ia][:, :3, 3], gt_rows[ib][:, 1:4])
+            print(f"ATE RMSE (Sim3-aligned): {rmse:.4f} m over {len(ia)} poses")
+        else:
+            print("WARNING: too few associated gt poses for ATE", file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -96,6 +201,7 @@ def main(argv=None) -> int:
             track_levels=tuple(range(args.levels - 2, -1, -1)),
             mono_depth=args.mono_depth,
             num_points=args.num_points,
+            track_mode=args.track_mode,
         ),
         use_features=args.features,
         use_ba=args.ba,
@@ -117,6 +223,14 @@ def main(argv=None) -> int:
     else:
         seq = open_directory(args.directory, start=args.start)
 
+    if args.offline:
+        if args.trace:
+            from ..utils.profiling import trace
+
+            with trace(args.trace):
+                return run_offline(args, system, config, seq)
+        return run_offline(args, system, config, seq)
+
     gt_rows_live = None
     viz = None
     if args.viz_port is not None:
@@ -131,6 +245,12 @@ def main(argv=None) -> int:
 
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     t0 = time.perf_counter()
+    tracer = None
+    if args.trace:
+        import jax
+
+        jax.profiler.start_trace(args.trace)
+        tracer = True
     prefetcher = FramePrefetcher(seq)
     for i, (img, depth) in prefetcher:
         if i >= n:
@@ -154,6 +274,10 @@ def main(argv=None) -> int:
             )
             viz.update(est, gt_pos)
     prefetcher.close()
+    if tracer:
+        import jax
+
+        jax.profiler.stop_trace()
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
     if args.profile:

@@ -16,6 +16,7 @@ from .trajectory import (
     read_groundtruth_tum,
     rpe,
     umeyama_alignment,
+    read_trajectory_tum,
     write_trajectory_tum,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "read_groundtruth_euroc",
     "poses_from_tum_rows",
     "poses_from_euroc_rows",
+    "read_trajectory_tum",
     "write_trajectory_tum",
     "associate",
     "umeyama_alignment",

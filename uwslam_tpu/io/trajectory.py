@@ -87,6 +87,31 @@ def write_trajectory_tum(path: str, timestamps, poses) -> None:
             )
 
 
+def read_trajectory_tum(path: str):
+    """Read a TUM-format trajectory (ts tx ty tz qx qy qz qw; '#' comments)
+    back into (timestamps (N,), poses (N, 4, 4)) — the inverse of
+    write_trajectory_tum, used for session comparison and external ATE
+    tooling interchange."""
+    rows = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            rows.append([float(x) for x in ln.split()])
+    data = np.asarray(rows, np.float64)
+    if data.size == 0:
+        return np.zeros((0,)), np.zeros((0, 4, 4), np.float32)
+    ts = data[:, 0]
+    t = data[:, 1:4]
+    q_xyzw = data[:, 4:8]
+    q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, :3]], axis=1)
+    R = np.asarray(so3.from_quaternion(q_wxyz.astype(np.float32)))
+    return ts, np.asarray(
+        se3.from_rotation_translation(R, t.astype(np.float32))
+    )
+
+
 def associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float = 0.02):
     """Nearest-timestamp association -> (idx_a, idx_b) pairs within max_dt."""
     ia, ib = [], []
