@@ -1,0 +1,173 @@
+"""Per-kernel microbenchmarks — achieved throughput vs speed-of-light.
+
+SURVEY.md §7 item 10: each hot op of the tracking stack measured in
+isolation on the current device, with a roofline estimate (HBM-bound ops
+against ~819 GB/s v5e bandwidth, MXU ops against bf16 matmul peak) so
+regressions and headroom are visible per kernel, not just end-to-end.
+
+Methodology: wall-clock through this rig's remote-TPU tunnel carries tens of
+milliseconds of dispatch/transfer overhead per call, so each kernel is
+measured by DEVICE time instead — one warmed invocation under
+jax.profiler.trace, reading the jitted program's duration from the timeline.
+
+Usage: python benchmarks/micro.py  ->  one JSON line per kernel.
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+# v5e speed-of-light constants (per chip)
+HBM_GBS = 819.0          # HBM bandwidth
+MXU_BF16_TFLOPS = 197.0  # bf16 matmul peak (f32 inputs at DEFAULT precision
+                         # run 1-pass bf16 on the MXU)
+
+B = 96          # frame batch
+H, W = 480, 640
+N_PTS = 2048
+
+
+def device_time_s(jitted, args) -> float:
+    """One warmed call under jax.profiler.trace; return the program's device
+    duration in seconds (largest top-level jit event in the timeline)."""
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    tmp = tempfile.mkdtemp(prefix="uwslam_micro_")
+    try:
+        with jax.profiler.trace(tmp):
+            out = jitted(*args)
+            jax.block_until_ready(out)
+        path = sorted(glob.glob(os.path.join(
+            tmp, "plugins/profile/*/*.trace.json.gz")))[-1]
+        d = json.load(gzip.open(path))
+        pids = {
+            e["pid"]: e["args"].get("name", "")
+            for e in d["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        total = collections.Counter()
+        for e in d["traceEvents"]:
+            if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+                n = e.get("name", "")
+                if n.startswith("jit_"):
+                    total[n.split("(")[0]] += e.get("dur", 0)
+        return max(total.values()) / 1e6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    from uwslam_tpu.camera import PinholeCamera
+    from uwslam_tpu.image import build_pyramid
+    from uwslam_tpu.image.pyramid import bilinear_sample_dense, scharr_gradients
+    from uwslam_tpu.lie import se3
+    from uwslam_tpu.tracking import topk_gradient_points
+    from uwslam_tpu.utils.precision import HIGHEST
+
+    cam = PinholeCamera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+                        width=W, height=H)
+    key = jax.random.PRNGKey(0)
+    frames = jax.random.uniform(key, (B, H, W), jnp.float32) * 255.0
+    uv = jnp.stack(
+        [jax.random.uniform(key, (B, N_PTS)) * (W - 2),
+         jax.random.uniform(key, (B, N_PTS)) * (H - 2)], axis=-1)
+    stacked3 = jnp.stack([frames, frames, frames], axis=1)  # (B, 3, H, W)
+    J = jax.random.normal(key, (B, N_PTS, 6))
+    Hmat = jnp.eye(6) * 10.0 + 0.1 * jax.random.normal(key, (B, 6, 6))
+    Hmat = Hmat @ jnp.swapaxes(Hmat, -1, -2)
+    tw = jax.random.normal(key, (65536, 6)) * 0.1
+
+    px = B * H * W * 4
+
+    # (name, jitted fn, args, work_bytes, work_flops, note)
+    cases = [
+        (
+            "pyramid5+scharr(b96)",
+            jax.jit(jax.vmap(lambda im: build_pyramid(im, levels=5))),
+            (frames,),
+            int(px * (1 + 4 * 1.33)), None,
+            "5-level pyramid + Scharr x/y + |grad|, vmapped",
+        ),
+        (
+            "scharr_l0(b96)",
+            jax.jit(jax.vmap(scharr_gradients)),
+            (frames,),
+            px * 3, None, "",
+        ),
+        (
+            "sample_dense_c3(b96,n2048)",
+            jax.jit(jax.vmap(bilinear_sample_dense)),
+            (stacked3, uv),
+            None, 2 * B * 3 * N_PTS * H * W,
+            "fc hot-loop op: one-hot matmul sampling, 3 channels",
+        ),
+        (
+            "sample_dense_c1(b96,n2048)",
+            jax.jit(jax.vmap(bilinear_sample_dense)),
+            (frames[:, None], uv),
+            None, 2 * B * N_PTS * H * W,
+            "ic hot-loop op: intensity only",
+        ),
+        (
+            "normal_eq_6x6(b96,n2048)",
+            jax.jit(lambda Jb: (
+                jnp.einsum("bni,bnj->bij", Jb, Jb, precision=HIGHEST),
+                jnp.einsum("bni,bn->bi", Jb, Jb[..., 0], precision=HIGHEST),
+            )),
+            (J,),
+            B * N_PTS * 6 * 4 * 2, None,
+            "HIGHEST precision; HBM-bound at N=2048",
+        ),
+        (
+            "solve_6x6(b96)",
+            jax.jit(lambda Hb: jnp.linalg.solve(
+                Hb, Hb[..., :1]).squeeze(-1)),
+            (Hmat,),
+            None, None, "batched LU, latency-bound",
+        ),
+        (
+            "topk_points(b96)",
+            jax.jit(jax.vmap(
+                lambda im: topk_gradient_points(
+                    im, im, cam, num_points=N_PTS, mono_z=2.0, block=8
+                ).uv)),
+            (frames,),
+            px * 2, None, "block argmax + top-K + unproject",
+        ),
+        (
+            "se3_exp_compose_inv(65k)",
+            jax.jit(lambda t: se3.compose(
+                se3.exp(t), se3.inverse(se3.exp(t)))),
+            (tw,),
+            65536 * 6 * 4 * 2, None, "geometry backbone, batched",
+        ),
+    ]
+    for name, fn, args, wb, wf, note in cases:
+        s = device_time_s(fn, args)
+        rec = {"kernel": name, "us_per_op": round(s * 1e6, 1)}
+        if wb:
+            g = wb / s / 1e9
+            rec["GB_s"] = round(g, 1)
+            rec["pct_hbm_roofline"] = round(100 * g / HBM_GBS, 1)
+        if wf:
+            t = wf / s / 1e12
+            rec["TFLOP_s"] = round(t, 2)
+            rec["pct_mxu_roofline"] = round(100 * t / MXU_BF16_TFLOPS, 1)
+        if note:
+            rec["note"] = note
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,15 +85,25 @@ def topk_gradient_points(
     Hb, Wb = H // block, W // block
     gb = g[: Hb * block, : Wb * block].reshape(Hb, block, Wb, block)
     gb = gb.transpose(0, 2, 1, 3).reshape(Hb * Wb, block * block)
-    best_in_block = jnp.argmax(gb, axis=1)
-    best_val = jnp.take_along_axis(gb, best_in_block[:, None], axis=1)[:, 0]
+    best_val = jnp.max(gb, axis=1)
+    best_in_block = jnp.argmax(gb, axis=1).astype(jnp.int32)
 
+    # Top-K via a multi-operand sort that carries the block id and in-block
+    # index as payloads: top_k followed by best_in_block[top_block] would be
+    # a scattered gather, which serializes on TPU (the same pathology as
+    # gather-based bilinear sampling — this one op was ~80% of the selection
+    # kernel's 11 ms).
     k = min(num_points, Hb * Wb)
-    top_val, top_block = jax.lax.top_k(best_val, k)
+    block_ids = jnp.arange(Hb * Wb, dtype=jnp.int32)
+    neg_sorted, top_block, top_inner = jax.lax.sort(
+        (-best_val, block_ids, best_in_block), num_keys=1
+    )
+    top_val = -neg_sorted[:k]
+    top_block = top_block[:k]
     by = top_block // Wb
     bx = top_block % Wb
-    iy = best_in_block[top_block] // block
-    ix = best_in_block[top_block] % block
+    iy = top_inner[:k] // block
+    ix = top_inner[:k] % block
     v = (by * block + iy).astype(jnp.float32)
     u = (bx * block + ix).astype(jnp.float32)
     uv = jnp.stack([u, v], axis=-1)
