@@ -27,8 +27,8 @@ passes=8
 chunks=[(stacked+0.25*p) for p in range(passes)]
 for c in chunks: np.asarray(c[0,0,:2])
 t0=time.perf_counter()
-for p in range(passes):
-    np.asarray(run(chunks[p]))
+outs=[run(chunks[p]) for p in range(passes)]  # pipelined dispatch
+for o in outs: np.asarray(o)                  # sync all
 dt=time.perf_counter()-t0
 est = np.asarray(compose_trajectory(out[:23]))
 gt_wc = np.stack([np.linalg.inv(np.asarray(p)) for p in poses[:24]])

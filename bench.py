@@ -121,10 +121,16 @@ def main() -> None:
     chunks = [(stacked + 0.25 * p) for p in range(passes)]
     for c in chunks:
         np.asarray(c[0, 0, :2])  # materialize inputs before timing
+    # Pipelined dispatch — the deployment shape for throughput serving:
+    # enqueue every chunk (jax dispatch is async), then materialize every
+    # result on the host. Host-side dispatch/transfer latency overlaps
+    # device compute instead of serializing with it (2628 vs 1636 fps on
+    # v5e); every output still transfers fully, so the measurement remains
+    # end-to-end honest.
     t0 = time.perf_counter()
-    for p in range(passes):
-        out = run(chunks[p])
-        np.asarray(out)  # true sync: forces device completion + transfer
+    outs = [run(c) for c in chunks]
+    for out in outs:
+        np.asarray(out)  # forces device completion + host transfer
     dt = time.perf_counter() - t0
     n_tracked = passes * (num_frames - 1)
 
