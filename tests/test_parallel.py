@@ -169,13 +169,18 @@ class TestSequenceParallel:
         ]
         frames = jnp.stack([render_plane_view(cam, T, 2.0) for T in poses])
         mesh = Mesh(np.array(jax.devices()[:4]), (SEQ_AXIS,))
-        T_rel, inliers, errors = track_sequence_sharded(
-            frames, cam, mesh, mono_z=2.0, levels=4,
-            track_levels=(2, 1, 0), num_points=512, max_iters=12,
-        )
-        assert T_rel.shape == (n - 1, 4, 4)
-        T_wc = np.asarray(compose_trajectory(T_rel))
         gt_wc = np.stack([np.asarray(se3.inverse(T)) for T in poses])
-        rmse = ate_rmse(T_wc[:, :3, 3], gt_wc[:, :3, 3])
-        assert rmse < 0.01, f"ATE {rmse}"
-        assert int(inliers.min()) > 200
+        # Both per-chunk flavors: data-parallel pairs (vmap inside
+        # shard_map — the two parallelism levels compose) and the
+        # sequential scan with its constant-velocity prior.
+        for batched in (True, False):
+            T_rel, inliers, errors = track_sequence_sharded(
+                frames, cam, mesh, mono_z=2.0, levels=4,
+                track_levels=(2, 1, 0), num_points=512, max_iters=12,
+                batched=batched,
+            )
+            assert T_rel.shape == (n - 1, 4, 4)
+            T_wc = np.asarray(compose_trajectory(T_rel))
+            rmse = ate_rmse(T_wc[:, :3, 3], gt_wc[:, :3, 3])
+            assert rmse < 0.01, f"ATE {rmse} batched={batched}"
+            assert int(inliers.min()) > 200

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera.model import PinholeCamera
-from ..tracking.sequence import track_sequence
+from ..tracking.sequence import track_sequence, track_sequence_batched
 
 SEQ_AXIS = "seq"
 
@@ -31,7 +31,7 @@ SEQ_AXIS = "seq"
     jax.jit,
     static_argnames=(
         "cam", "mesh", "levels", "track_levels", "num_points", "max_iters",
-        "mono_z",
+        "mono_z", "mode", "batched",
     ),
 )
 def track_sequence_sharded(
@@ -43,6 +43,8 @@ def track_sequence_sharded(
     track_levels: tuple[int, ...] = (3, 2, 1, 0),
     num_points: int = 2048,
     max_iters: int = 10,
+    mode: str = "fc",
+    batched: bool = True,
 ):
     """Track (N, H, W) frames over a mesh with axis `seq`.
 
@@ -60,11 +62,18 @@ def track_sequence_sharded(
     idx = jnp.clip(starts[:, None] + jnp.arange(C + 1)[None, :], 0, N - 1)
     chunks = frames[idx]  # (D, C+1, H, W)
 
+    # batched=True: within each device's chunk the pairs are ALSO data
+    # parallel (tracking.track_sequence_batched) — the two parallelism
+    # levels compose: shard_map distributes chunks over the mesh, vmap
+    # batches pairs within a chip. batched=False keeps the sequential scan
+    # (constant-velocity prior) per chunk.
+    inner = track_sequence_batched if batched else track_sequence
+
     def per_chunk(chunk):
-        T_rel, inliers, errors = track_sequence(
+        T_rel, inliers, errors = inner(
             chunk[0], cam,
             mono_z=mono_z, levels=levels, track_levels=track_levels,
-            num_points=num_points, max_iters=max_iters,
+            num_points=num_points, max_iters=max_iters, mode=mode,
         )
         return T_rel[None], inliers[None], errors[None]
 
