@@ -35,20 +35,18 @@ def main() -> None:
     plane_z = 2.0
 
     # Pre-render a short synthetic sequence (rendering excluded from timing).
-    # 96 frames amortize the remote-dispatch overhead of this rig; the motion
-    # schedule repeats every 24 frames so adjacent-pair motion stays in the
-    # reference's operating regime.
+    # 96 frames amortize the remote-dispatch overhead of this rig; the twist
+    # follows a smooth sinusoid (period 24) so EVERY adjacent pair's motion
+    # stays within the coarse level's convergence basin — a sawtooth wrap
+    # would make 3 of 95 pairs jump by the full excursion and diverge,
+    # polluting both the timing (those lanes run to the iteration cap) and
+    # the tracked-pose validity.
+    import math
+
     num_frames = 96
+    amp = jnp.asarray([0.06, 0.024, 0.008, 0.004, -0.006, 0.008], jnp.float32)
     poses = [
-        se3.exp(
-            jnp.asarray(
-                [
-                    0.015 * (i % 24), 0.006 * (i % 24), 0.002 * (i % 24),
-                    0.001 * (i % 24), -0.0015 * (i % 24), 0.002 * (i % 24),
-                ],
-                jnp.float32,
-            )
-        )
+        se3.exp(amp * math.sin(2.0 * math.pi * i / 24.0))
         for i in range(num_frames)
     ]
     frames = [render_plane_view(cam, T, plane_z) for T in poses]

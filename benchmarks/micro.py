@@ -48,8 +48,13 @@ def device_time_s(jitted, args) -> float:
         with jax.profiler.trace(tmp):
             out = jitted(*args)
             jax.block_until_ready(out)
-        path = sorted(glob.glob(os.path.join(
-            tmp, "plugins/profile/*/*.trace.json.gz")))[-1]
+        traces = sorted(glob.glob(os.path.join(
+            tmp, "plugins/profile/*/*.trace.json.gz")))
+        if not traces:
+            raise RuntimeError(
+                "no profiler trace produced — is a TPU device attached?"
+            )
+        path = traces[-1]
         d = json.load(gzip.open(path))
         pids = {
             e["pid"]: e["args"].get("name", "")
@@ -62,6 +67,11 @@ def device_time_s(jitted, args) -> float:
                 n = e.get("name", "")
                 if n.startswith("jit_"):
                     total[n.split("(")[0]] += e.get("dur", 0)
+        if not total:
+            raise RuntimeError(
+                "no TPU jit events found in the trace — this benchmark "
+                "measures device time and requires a TPU backend"
+            )
         return max(total.values()) / 1e6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -77,16 +87,18 @@ def main():
 
     cam = PinholeCamera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
                         width=W, height=H)
-    key = jax.random.PRNGKey(0)
-    frames = jax.random.uniform(key, (B, H, W), jnp.float32) * 255.0
+    k_img, k_u, k_v, k_J, k_H, k_tw = jax.random.split(
+        jax.random.PRNGKey(0), 6
+    )
+    frames = jax.random.uniform(k_img, (B, H, W), jnp.float32) * 255.0
     uv = jnp.stack(
-        [jax.random.uniform(key, (B, N_PTS)) * (W - 2),
-         jax.random.uniform(key, (B, N_PTS)) * (H - 2)], axis=-1)
+        [jax.random.uniform(k_u, (B, N_PTS)) * (W - 2),
+         jax.random.uniform(k_v, (B, N_PTS)) * (H - 2)], axis=-1)
     stacked3 = jnp.stack([frames, frames, frames], axis=1)  # (B, 3, H, W)
-    J = jax.random.normal(key, (B, N_PTS, 6))
-    Hmat = jnp.eye(6) * 10.0 + 0.1 * jax.random.normal(key, (B, 6, 6))
+    J = jax.random.normal(k_J, (B, N_PTS, 6))
+    Hmat = jnp.eye(6) * 10.0 + 0.1 * jax.random.normal(k_H, (B, 6, 6))
     Hmat = Hmat @ jnp.swapaxes(Hmat, -1, -2)
-    tw = jax.random.normal(key, (65536, 6)) * 0.1
+    tw = jax.random.normal(k_tw, (65536, 6)) * 0.1
 
     px = B * H * W * 4
 

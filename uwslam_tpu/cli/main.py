@@ -109,40 +109,75 @@ def run_offline(args, system, config, seq) -> int:
     tcfg = config.tracker
 
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
-    imgs, depths = [], []
-    prefetcher = FramePrefetcher(seq)
-    for i, (img, depth) in prefetcher:
-        if i >= n:
-            break
-        imgs.append(system._ingest(img))
-        if depth is not None:
-            d = jnp.asarray(depth, jnp.float32)
-            x0, y0, w, h = system._roi
-            depths.append(jax.lax.dynamic_slice(d, (y0, x0), (h, w)))
-    prefetcher.close()
-    n = len(imgs)
     if n < 2:
         print("offline mode needs >= 2 frames", file=sys.stderr)
         return 1
-    has_depth = len(depths) == n
 
+    def ingest_frame(img, depth):
+        dev = system._ingest(img)
+        ddev = None
+        if depth is not None:
+            d = jnp.asarray(depth, jnp.float32)
+            x0, y0, w, h = system._roi
+            ddev = jax.lax.dynamic_slice(d, (y0, x0), (h, w))
+        return dev, ddev
+
+    # Ingest PER CHUNK (only one chunk of frames is ever device-resident —
+    # a full TUM sequence would not fit HBM — and decode overlaps tracking
+    # through the prefetcher). The timed region covers decode + ingest +
+    # tracking, same as the live path's frames/s.
     chunk = max(2, args.chunk)
     T_rel_all = []
+    missing_depth = 0
+    imgs, depths = [], []   # current chunk (carries 1-frame overlap)
     t0 = time.perf_counter()
-    s = 0
-    while s < n - 1:
-        e = min(s + chunk, n)
-        fr = jnp.stack(imgs[s:e])
-        dfr = jnp.stack(depths[s:e]) if has_depth else None
+    prefetcher = FramePrefetcher(seq)
+
+    def track_chunk(imgs, depths):
+        fr = jnp.stack(imgs)
+        use_depth = all(d is not None for d in depths)
+        dfr = jnp.stack(depths) if use_depth else None
+        # Pad the stack to the full chunk length by repeating the last
+        # frame: one static shape -> one XLA compile for every chunk (the
+        # padded tail pairs produce identity poses, dropped below).
+        pad = chunk - fr.shape[0]
+        if pad > 0:
+            fr = jnp.concatenate([fr, jnp.repeat(fr[-1:], pad, axis=0)])
+            if dfr is not None:
+                dfr = jnp.concatenate(
+                    [dfr, jnp.repeat(dfr[-1:], pad, axis=0)]
+                )
         T_rel, _, _ = track_sequence_batched(
             fr, system.cam, depth_frames=dfr,
             mono_z=tcfg.mono_depth, levels=tcfg.pyramid_levels,
             track_levels=tcfg.track_levels, num_points=tcfg.num_points,
             max_iters=tcfg.max_iterations, mode=tcfg.track_mode,
         )
-        T_rel_all.append(T_rel)
-        s = e - 1  # overlap one frame so relative poses chain exactly
+        return T_rel[: len(imgs) - 1]
+
+    for i, (img, depth) in prefetcher:
+        if i >= n:
+            break
+        if args.depth and depth is None:
+            missing_depth += 1
+        dev, ddev = ingest_frame(img, depth)
+        imgs.append(dev)
+        depths.append(ddev)
+        if len(imgs) == chunk:
+            T_rel_all.append(track_chunk(imgs, depths))
+            # keep the last frame: one-frame overlap chains the chunks
+            imgs, depths = imgs[-1:], depths[-1:]
+    prefetcher.close()
+    if len(imgs) >= 2:
+        T_rel_all.append(track_chunk(imgs, depths))
+    if missing_depth:
+        print(
+            f"WARNING: {missing_depth} frames lack depth; chunks containing "
+            f"them fall back to mono_z={tcfg.mono_depth}",
+            file=sys.stderr,
+        )
     T_rel = jnp.concatenate(T_rel_all)
+    n = T_rel.shape[0] + 1
     poses = np.asarray(compose_trajectory(T_rel))
     dt = time.perf_counter() - t0
     print(
@@ -244,13 +279,14 @@ def main(argv=None) -> int:
             gt_rows_live = read_groundtruth_euroc(args.euroc_gt)
 
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
-    t0 = time.perf_counter()
-    tracer = None
-    if args.trace:
-        import jax
+    import contextlib
 
-        jax.profiler.start_trace(args.trace)
-        tracer = True
+    t0 = time.perf_counter()
+    stack = contextlib.ExitStack()
+    if args.trace:
+        from ..utils.profiling import trace
+
+        stack.enter_context(trace(args.trace))
     prefetcher = FramePrefetcher(seq)
     for i, (img, depth) in prefetcher:
         if i >= n:
@@ -274,10 +310,7 @@ def main(argv=None) -> int:
             )
             viz.update(est, gt_pos)
     prefetcher.close()
-    if tracer:
-        import jax
-
-        jax.profiler.stop_trace()
+    stack.close()  # flushes the profiler trace if one was started
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
     if args.profile:

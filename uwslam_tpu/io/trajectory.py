@@ -95,21 +95,14 @@ def read_trajectory_tum(path: str):
     rows = []
     with open(path) as f:
         for ln in f:
-            ln = ln.strip()
-            if not ln or ln.startswith("#"):
-                continue
-            rows.append([float(x) for x in ln.split()])
+            parts = ln.strip().split()
+            if not parts or parts[0].startswith("#") or len(parts) < 8:
+                continue  # skip comments and truncated rows (partial writes)
+            rows.append([float(x) for x in parts[:8]])
     data = np.asarray(rows, np.float64)
     if data.size == 0:
         return np.zeros((0,)), np.zeros((0, 4, 4), np.float32)
-    ts = data[:, 0]
-    t = data[:, 1:4]
-    q_xyzw = data[:, 4:8]
-    q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, :3]], axis=1)
-    R = np.asarray(so3.from_quaternion(q_wxyz.astype(np.float32)))
-    return ts, np.asarray(
-        se3.from_rotation_translation(R, t.astype(np.float32))
-    )
+    return data[:, 0], poses_from_tum_rows(data)
 
 
 def associate(ts_a: np.ndarray, ts_b: np.ndarray, max_dt: float = 0.02):

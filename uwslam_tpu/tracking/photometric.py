@@ -138,6 +138,7 @@ class _LMState(NamedTuple):
     T_best: jax.Array     # best accepted pose so far
     r_best: jax.Array     # residuals at T_best
     J_best: jax.Array     # Jacobian at T_best
+    valid_best: jax.Array  # validity mask at T_best
     error: jax.Array      # error at T_best
     lam: jax.Array
     k: jax.Array
@@ -188,17 +189,19 @@ def lm_level(
     w0 = weights(r0, valid0, weight_kind, sigma=sigma0)
     err0 = _mean_robust_error(r0, w0, valid0)
 
-    def solve_from(r, J, lam):
+    def solve_from(r, J, valid, lam):
         # Tukey hard-rejects beyond b*sigma, so its scale must track the
-        # shrinking residuals; Huber degrades gracefully with a stale scale,
-        # so it keeps the per-level sigma0 (saves 2 sorts/iteration, ~13%
-        # end-to-end on v5e: 728 -> 835 fps at equal ATE).
+        # shrinking residuals — estimated over the CURRENT validity mask
+        # (points that warped out of frame carry zeroed residuals that would
+        # drag the MAD toward 0 under a stale mask). Huber degrades
+        # gracefully with a stale scale, so it keeps the per-level sigma0
+        # (saves 2 sorts/iteration, ~13% end-to-end on v5e at equal ATE).
         sig = (
-            mad_sigma(r, valid0)
+            mad_sigma(r, valid)
             if weight_kind == WeightKind.TUKEY
             else sigma0
         )
-        w = weights(r, valid0, weight_kind, sigma=sig)
+        w = weights(r, valid, weight_kind, sigma=sig)
         wJ = w[:, None] * J
         H = jnp.einsum("ni,nj->ij", J, wJ, precision=HIGHEST)
         b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
@@ -219,10 +222,11 @@ def lm_level(
         T_base = jnp.where(accept, s.T, s.T_best)
         r_base = jnp.where(accept, r, s.r_best)
         J_base = jnp.where(accept, J, s.J_best)
+        v_base = jnp.where(accept, valid, s.valid_best)
         err_base = jnp.where(accept, err, s.error)
         lam_next = jnp.where(accept, s.lam * 0.5, s.lam * 4.0).clip(1e-7, 1e3)
 
-        delta = solve_from(r_base, J_base, lam_next)
+        delta = solve_from(r_base, J_base, v_base, lam_next)
         ok = jnp.all(jnp.isfinite(delta))
         T_next = jnp.where(ok, se3.right_update(T_base, delta), T_base)
         small_step = jnp.linalg.norm(delta) < eps
@@ -232,6 +236,7 @@ def lm_level(
             T_best=T_base,
             r_best=r_base,
             J_best=J_base,
+            valid_best=v_base,
             error=err_base,
             lam=lam_next,
             k=s.k + 1,
@@ -241,12 +246,13 @@ def lm_level(
             n_inlier=jnp.where(accept, jnp.sum(valid), s.n_inlier),
         )
 
-    delta0 = solve_from(r0, J0, jnp.asarray(init_lambda, T0.dtype))
+    delta0 = solve_from(r0, J0, valid0, jnp.asarray(init_lambda, T0.dtype))
     init = _LMState(
         T=se3.right_update(T0, delta0),
         T_best=T0,
         r_best=r0,
         J_best=J0,
+        valid_best=valid0,
         error=err0,
         lam=jnp.asarray(init_lambda, T0.dtype),
         k=jnp.asarray(0),
@@ -378,8 +384,8 @@ def lm_level_ic(
     out = jax.lax.while_loop(lambda s: (~s.done) & (s.k < max_iters), body, init)
     return _LMState(
         T=out.T_best, T_best=out.T_best, r_best=out.r_best,
-        J_best=J, error=out.error, lam=out.lam, k=out.k,
-        done=out.done, n_inlier=out.n_inlier,
+        J_best=J, valid_best=out.valid_best, error=out.error, lam=out.lam,
+        k=out.k, done=out.done, n_inlier=out.n_inlier,
     )
 
 
