@@ -197,3 +197,18 @@ class TestInverseCompositional:
                         mode=mode)
             err = np.asarray(se3.log(se3.compose(se3.inverse(out.T), T_gt)))
             assert np.linalg.norm(err) < 5e-4, (mode, err)
+
+
+class TestCholeskySolve6:
+    def test_matches_linalg_solve(self):
+        import numpy as np
+
+        from uwslam_tpu.tracking.photometric import _cholesky_solve6
+
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(32, 6, 6)).astype(np.float32)
+        A = A @ np.swapaxes(A, -1, -2) + 6 * np.eye(6, dtype=np.float32)
+        b = rng.normal(size=(32, 6)).astype(np.float32)
+        x = np.asarray(_cholesky_solve6(jnp.asarray(A), jnp.asarray(b)))
+        x_ref = np.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)

@@ -127,10 +127,44 @@ def residuals_and_jacobian(
     return jnp.where(valid, r, z), jnp.where(valid[..., None], J, 0.0), valid
 
 
+def _cholesky_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve the SPD 6x6 system A x = b via a statically-unrolled Cholesky.
+
+    jnp.linalg.solve lowers to an LU custom call that cannot fuse and costs
+    ~4 ms per 95-pair tracking chunk on v5e (~12% of device time); this
+    unrolled form is pure elementwise math that XLA folds into the
+    surrounding fusion and vectorizes over any batch dims. A must be SPD —
+    the LM damping (lam*diag + eps*I) guarantees it on the solve path."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n                      # forward solve L y = b
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n                      # back solve L^T x = y
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
     """Solve (H + lam * diag(H)) delta = b — LM with Marquardt scaling."""
     Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
-    return jnp.linalg.solve(Hd, b)
+    return _cholesky_solve6(Hd, b)
 
 
 class _LMState(NamedTuple):
@@ -289,7 +323,12 @@ def lm_level_ic(
     reference, composed inversely).
     """
     # Constant J from reference gradients at the reference pixels.
-    if _use_mxu_sampling():
+    # ref_grad_x/y may arrive presampled per-point (1-D, from track()'s
+    # fused C=3 reference pass — saves rebuilding the one-hot weights for
+    # the same uv a second time) or as full (H, W) gradient images.
+    if ref_grad_x.ndim == 1:
+        gx, gy = ref_grad_x, ref_grad_y
+    elif _use_mxu_sampling():
         gvals, _ = _sample_stack(jnp.stack([ref_grad_x, ref_grad_y]), pts.uv)
         gx, gy = gvals[0], gvals[1]
     else:
@@ -430,7 +469,20 @@ def track(
         scale = 1.0 / (1 << lvl)
         cam_l = cam.scaled(lvl)
         uv_l = pts.uv * scale
-        ref_int_l, ref_ok = bilinear_sample_auto(ref.images[lvl], uv_l)
+        ref_gx_pts = ref_gy_pts = None
+        if mode == "ic" and _use_mxu_sampling():
+            # One fused C=3 reference pass (intensity + both gradients at
+            # the same uv) — the one-hot sampling weights are built once
+            # instead of once for the intensity and again for the gradients.
+            vals, ref_ok = _sample_stack(
+                jnp.stack(
+                    [ref.images[lvl], ref.grad_x[lvl], ref.grad_y[lvl]]
+                ),
+                uv_l,
+            )
+            ref_int_l, ref_gx_pts, ref_gy_pts = vals[0], vals[1], vals[2]
+        else:
+            ref_int_l, ref_ok = bilinear_sample_auto(ref.images[lvl], uv_l)
         pts_l = TrackPoints(
             uv=uv_l,
             p3d=pts.p3d,
@@ -442,8 +494,8 @@ def track(
                 T,
                 pts_l,
                 ref_int_l,
-                ref.grad_x[lvl],
-                ref.grad_y[lvl],
+                ref_gx_pts if ref_gx_pts is not None else ref.grad_x[lvl],
+                ref_gy_pts if ref_gy_pts is not None else ref.grad_y[lvl],
                 tgt.images[lvl],
                 cam_l,
                 max_iters=lvl_iters,
