@@ -212,3 +212,56 @@ class TestCholeskySolve6:
         x = np.asarray(_cholesky_solve6(jnp.asarray(A), jnp.asarray(b)))
         x_ref = np.linalg.solve(A, b[..., None])[..., 0]
         np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
+
+
+class TestAffineBrightness:
+    """DSO-style affine brightness compensation: I_tgt = (1+a) I_ref + b."""
+
+    @pytest.mark.parametrize("mode", ["fc", "ic"])
+    def test_recovers_pose_and_brightness(self, mode):
+        xi = [0.02, -0.01, 0.008, 0.004, -0.003, 0.006]
+        ref, tgt, T_gt = make_pair(xi)
+        # Target with a strong brightness violation (underwater lighting).
+        tgt_bright = jnp.clip(1.25 * tgt + 12.0, 0.0, 255.0)
+        pyr, pts = select_points(ref)
+        tpyr = build_pyramid(tgt_bright, levels=4)
+
+        out_aff = track(
+            pyr, tpyr, pts, CAM, levels=(2, 1, 0), max_iters=15,
+            mode=mode, affine=True,
+        )
+        err_aff = float(jnp.linalg.norm(
+            se3.log(se3.compose(se3.inverse(T_gt), out_aff.T))
+        ))
+        out_plain = track(
+            pyr, tpyr, pts, CAM, levels=(2, 1, 0), max_iters=15, mode=mode,
+        )
+        err_plain = float(jnp.linalg.norm(
+            se3.log(se3.compose(se3.inverse(T_gt), out_plain.T))
+        ))
+        assert err_aff < 0.01, f"{mode}: affine pose err {err_aff}"
+        assert err_aff < err_plain, (
+            f"{mode}: affine ({err_aff}) should beat plain ({err_plain}) "
+            f"under a brightness change"
+        )
+        a, b = float(out_aff.affine[0]), float(out_aff.affine[1])
+        # Saturation clips some pixels; accept the gain/offset loosely.
+        assert 0.15 < a < 0.35, a
+        assert 5.0 < b < 20.0, b
+
+    def test_identity_without_brightness_change(self):
+        """With no brightness violation the estimate should stay near 0."""
+        xi = [0.015, -0.008, 0.004, 0.002, -0.002, 0.004]
+        ref, tgt, T_gt = make_pair(xi)
+        pyr, pts = select_points(ref)
+        tpyr = build_pyramid(tgt, levels=4)
+        out = track(
+            pyr, tpyr, pts, CAM, levels=(2, 1, 0), max_iters=15,
+            mode="ic", affine=True,
+        )
+        err = float(jnp.linalg.norm(
+            se3.log(se3.compose(se3.inverse(T_gt), out.T))
+        ))
+        assert err < 0.01, err
+        assert abs(float(out.affine[0])) < 0.05
+        assert abs(float(out.affine[1])) < 3.0

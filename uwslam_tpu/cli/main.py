@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="photometric LM flavor: forward-compositional or "
                         "inverse-compositional (constant reference Jacobian; "
                         "~20%% faster on TPU)")
+    p.add_argument("--affine", action="store_true",
+                   help="jointly estimate affine brightness (a, b) per frame "
+                        "pair — for scenes violating brightness constancy "
+                        "(underwater attenuation, exposure changes)")
     p.add_argument("--offline", action="store_true",
                    help="throughput mode: batch the whole dataset through the "
                         "data-parallel tracker (vmapped over frame pairs) "
@@ -152,6 +156,7 @@ def run_offline(args, system, config, seq) -> int:
             mono_z=tcfg.mono_depth, levels=tcfg.pyramid_levels,
             track_levels=tcfg.track_levels, num_points=tcfg.num_points,
             max_iters=tcfg.max_iterations, mode=tcfg.track_mode,
+            affine=tcfg.affine_brightness,
         )
         return T_rel[: len(imgs) - 1]
 
@@ -237,6 +242,7 @@ def main(argv=None) -> int:
             mono_depth=args.mono_depth,
             num_points=args.num_points,
             track_mode=args.track_mode,
+            affine_brightness=args.affine,
         ),
         use_features=args.features,
         use_ba=args.ba,

@@ -32,6 +32,9 @@ class TrackerConfig:
     track_mode: str = "fc"               # "fc" | "ic" (inverse compositional:
                                          # constant ref-side J, ~3x less
                                          # sampling per LM iteration)
+    affine_brightness: bool = False      # DSO-style joint (a, b) estimation:
+                                         # I_tgt = (1+a) I_ref + b — for
+                                         # underwater lighting / exposure
     mono_depth: float = 1.0              # z=1 when no depth (Tracker.cpp:1228)
     depth_factor: float = 0.0002         # TUM 16-bit depth scaling
     min_inliers: int = 100               # tracking-failure threshold

@@ -372,6 +372,7 @@ class SlamSystem:
                     max_iters=cfg.tracker.max_iterations,
                     weight_kind=cfg.tracker.weight_kind,
                     mode=cfg.tracker.track_mode,
+                    affine=cfg.tracker.affine_brightness,
                 )
                 _sync(out.T)
             T_rel = out.T                     # cur <- prev

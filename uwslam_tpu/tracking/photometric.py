@@ -78,6 +78,7 @@ class TrackResult(NamedTuple):
     iterations: jax.Array   # total LM iterations across levels
     inliers: jax.Array      # valid residual count at the finest level
     converged: jax.Array    # bool
+    affine: jax.Array | None = None  # (a, b) brightness estimate (affine=True)
 
 
 def residuals_and_jacobian(
@@ -128,14 +129,15 @@ def residuals_and_jacobian(
 
 
 def _cholesky_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve the SPD 6x6 system A x = b via a statically-unrolled Cholesky.
+    """Solve the small SPD system A x = b via a statically-unrolled Cholesky
+    (n = A.shape[-1], 6 for pure SE(3), 8 with affine brightness).
 
     jnp.linalg.solve lowers to an LU custom call that cannot fuse and costs
     ~4 ms per 95-pair tracking chunk on v5e (~12% of device time); this
     unrolled form is pure elementwise math that XLA folds into the
     surrounding fusion and vectorizes over any batch dims. A must be SPD —
     the LM damping (lam*diag + eps*I) guarantees it on the solve path."""
-    n = 6
+    n = A.shape[-1]
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -163,13 +165,16 @@ def _cholesky_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
 
 def _solve_damped(H: jax.Array, b: jax.Array, lam: jax.Array) -> jax.Array:
     """Solve (H + lam * diag(H)) delta = b — LM with Marquardt scaling."""
-    Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
+    n = H.shape[-1]
+    Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(n, dtype=H.dtype)
     return _cholesky_solve6(Hd, b)
 
 
 class _LMState(NamedTuple):
     T: jax.Array          # candidate pose to evaluate next
     T_best: jax.Array     # best accepted pose so far
+    ab: jax.Array         # candidate affine brightness (a, b)
+    ab_best: jax.Array    # affine brightness at T_best
     r_best: jax.Array     # residuals at T_best
     J_best: jax.Array     # Jacobian at T_best
     valid_best: jax.Array  # validity mask at T_best
@@ -185,7 +190,27 @@ def _mean_robust_error(r, w, valid):
     return jnp.sum(w * r * r) / n
 
 
-@partial(jax.jit, static_argnames=("cam", "max_iters", "weight_kind"))
+def _affine_residual(r, ref_intensity, ab, valid):
+    """Brightness-compensated residual: r - a*I_ref - b (masked).
+
+    The photometric model is I_tgt(w(x)) = (1+a) * I_ref(x) + b — underwater
+    scenes (the reference's domain, /root/reference/README.md:3) violate
+    brightness constancy through attenuation and artificial lighting; this
+    is the standard DSO-style affine compensation. r is the plain
+    brightness-constancy residual I_tgt - I_ref."""
+    return jnp.where(valid, r - ab[0] * ref_intensity - ab[1], 0.0)
+
+
+def _affine_columns(ref_intensity, valid):
+    """d(residual)/d(a, b) = (-I_ref, -1): two constant Jacobian columns."""
+    ja = jnp.where(valid, -ref_intensity, 0.0)
+    jb = jnp.where(valid, -1.0, 0.0)
+    return jnp.stack([ja, jb], axis=-1)  # (N, 2)
+
+
+@partial(
+    jax.jit, static_argnames=("cam", "max_iters", "weight_kind", "affine")
+)
 def lm_level(
     T0: jax.Array,
     pts: TrackPoints,
@@ -198,6 +223,8 @@ def lm_level(
     eps: float = 1e-4,
     weight_kind: WeightKind = WeightKind.HUBER,
     init_lambda: float = 1e-4,
+    affine: bool = False,
+    ab0: jax.Array | None = None,
 ):
     """LM refinement at a single pyramid level (reference GN inner loop,
     src/Tracker.cpp:688-852, with real damping).
@@ -210,15 +237,31 @@ def lm_level(
     (r, J) with a larger lambda. Halves the hot-loop sampling work. The
     robust scale sigma is MAD-estimated ONCE per level from the initial
     residuals for Huber (standard IRLS practice; re-sorting every iteration
-    cost ~13% end-to-end on v5e at no accuracy gain) and per-iteration for
+    cost ~13% end-to-end on v5e at equal ATE) and per-iteration for
     Tukey, whose redescending rejection needs a scale that tracks the
     shrinking residuals.
+
+    affine=True jointly estimates DSO-style affine brightness (a, b) —
+    the state becomes 8-DOF [xi, a, b] with two constant extra Jacobian
+    columns (-I_ref, -1).
     """
-    r0, J0, valid0 = residuals_and_jacobian(
-        T0, pts, ref_intensity, image, grad_x, grad_y, cam
-    )
+    ab0 = jnp.zeros(2, jnp.float32) if ab0 is None else ab0
     from .robust import mad_sigma
 
+    def eval_at(T, ab):
+        r_raw, J, valid = residuals_and_jacobian(
+            T, pts, ref_intensity, image, grad_x, grad_y, cam
+        )
+        if affine:
+            r = _affine_residual(r_raw, ref_intensity, ab, valid)
+            J = jnp.concatenate(
+                [J, _affine_columns(ref_intensity, valid)], axis=-1
+            )
+        else:
+            r = r_raw
+        return r, J, valid
+
+    r0, J0, valid0 = eval_at(T0, ab0)
     sigma0 = mad_sigma(r0, valid0)
     w0 = weights(r0, valid0, weight_kind, sigma=sigma0)
     err0 = _mean_robust_error(r0, w0, valid0)
@@ -241,19 +284,23 @@ def lm_level(
         b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
         return _solve_damped(H, b, lam)
 
+    def apply_delta(T, ab, delta):
+        T_next = se3.right_update(T, delta[:6])
+        ab_next = ab + delta[6:8] if affine else ab
+        return T_next, ab_next
+
     def cond(s: _LMState):
         return (~s.done) & (s.k < max_iters)
 
     def body(s: _LMState):
         # One pass: evaluate the current candidate.
-        r, J, valid = residuals_and_jacobian(
-            s.T, pts, ref_intensity, image, grad_x, grad_y, cam
-        )
+        r, J, valid = eval_at(s.T, s.ab)
         w = weights(r, valid, weight_kind, sigma=sigma0)
         err = _mean_robust_error(r, w, valid)
 
         accept = (err < s.error) & jnp.isfinite(err)
         T_base = jnp.where(accept, s.T, s.T_best)
+        ab_base = jnp.where(accept, s.ab, s.ab_best)
         r_base = jnp.where(accept, r, s.r_best)
         J_base = jnp.where(accept, J, s.J_best)
         v_base = jnp.where(accept, valid, s.valid_best)
@@ -262,12 +309,16 @@ def lm_level(
 
         delta = solve_from(r_base, J_base, v_base, lam_next)
         ok = jnp.all(jnp.isfinite(delta))
-        T_next = jnp.where(ok, se3.right_update(T_base, delta), T_base)
+        T_next, ab_next = apply_delta(T_base, ab_base, delta)
+        T_next = jnp.where(ok, T_next, T_base)
+        ab_next = jnp.where(ok, ab_next, ab_base)
         small_step = jnp.linalg.norm(delta) < eps
         done = (accept & small_step) | (lam_next > 500.0) | ~ok
         return _LMState(
             T=T_next,
             T_best=T_base,
+            ab=ab_next,
+            ab_best=ab_base,
             r_best=r_base,
             J_best=J_base,
             valid_best=v_base,
@@ -281,9 +332,12 @@ def lm_level(
         )
 
     delta0 = solve_from(r0, J0, valid0, jnp.asarray(init_lambda, T0.dtype))
+    T1, ab1 = apply_delta(T0, ab0, delta0)
     init = _LMState(
-        T=se3.right_update(T0, delta0),
+        T=T1,
         T_best=T0,
+        ab=ab1,
+        ab_best=ab0,
         r_best=r0,
         J_best=J0,
         valid_best=valid0,
@@ -295,10 +349,12 @@ def lm_level(
     )
     out = jax.lax.while_loop(cond, body, init)
     # The final candidate s.T may be unevaluated; report the best ACCEPTED.
-    return out._replace(T=out.T_best)
+    return out._replace(T=out.T_best, ab=out.ab_best)
 
 
-@partial(jax.jit, static_argnames=("cam", "max_iters", "weight_kind"))
+@partial(
+    jax.jit, static_argnames=("cam", "max_iters", "weight_kind", "affine")
+)
 def lm_level_ic(
     T0: jax.Array,
     pts: TrackPoints,
@@ -311,6 +367,8 @@ def lm_level_ic(
     eps: float = 1e-4,
     weight_kind: WeightKind = WeightKind.HUBER,
     init_lambda: float = 1e-4,
+    affine: bool = False,
+    ab0: jax.Array | None = None,
 ):
     """Inverse-compositional LM at one level (Baker-Matthews; the proxy-
     template photometric-BA literature builds on the same identity).
@@ -321,7 +379,12 @@ def lm_level_ic(
     ~3x less of the HBM-bound sampling work than the forward-compositional
     path. Update rule: T <- T * exp(delta)^-1 (the increment warps the
     reference, composed inversely).
+
+    affine=True adds DSO-style affine brightness (a, b): the two extra
+    Jacobian columns (-I_ref, -1) are constant too, so the IC economy is
+    preserved exactly.
     """
+    ab0 = jnp.zeros(2, jnp.float32) if ab0 is None else ab0
     # Constant J from reference gradients at the reference pixels.
     # ref_grad_x/y may arrive presampled per-point (1-D, from track()'s
     # fused C=3 reference pass — saves rebuilding the one-hot weights for
@@ -339,8 +402,12 @@ def lm_level_ic(
     Jw = jnp.einsum("nj,njk->nk", g, -so3.hat(pts.p3d), precision=HIGHEST)
     J = jnp.concatenate([g, Jw], axis=-1)              # (N, 6)
     J = jnp.where(pts.valid[..., None], J, 0.0)
+    if affine:
+        J = jnp.concatenate(
+            [J, _affine_columns(ref_intensity, pts.valid)], axis=-1
+        )
 
-    def sample_target(T):
+    def sample_target(T, ab):
         p_t = se3.apply(T, pts.p3d)
         uv_t = cam.project(p_t)
         if _use_mxu_sampling():
@@ -350,11 +417,13 @@ def lm_level_ic(
             i_t, in_img = bilinear_sample(image, uv_t)
         valid = pts.valid & in_img & (p_t[..., 2] > 1e-3)
         r = jnp.where(valid, i_t - ref_intensity, 0.0)
+        if affine:
+            r = _affine_residual(r, ref_intensity, ab, valid)
         return r, valid
 
     from .robust import mad_sigma
 
-    r0, valid0 = sample_target(T0)
+    r0, valid0 = sample_target(T0, ab0)
     sigma0 = mad_sigma(r0, valid0)
 
     def eval_err(r, valid):
@@ -376,9 +445,20 @@ def lm_level_ic(
         b = -jnp.einsum("ni,n->i", wJ, r, precision=HIGHEST)
         return _solve_damped(H, b, lam)
 
+    def apply_delta(T, ab, delta):
+        # Inverse composition: with r = I_tgt - I_ref and b = -J^T W r, the
+        # optimal reference-side increment is exp(-delta), and
+        # T ∘ exp(-delta)^-1 = T ∘ exp(delta) — the same update form as FC.
+        # The affine params live on the reference side and update additively.
+        T_next = se3.normalize(se3.compose(T, se3.exp(delta[:6])))
+        ab_next = ab + delta[6:8] if affine else ab
+        return T_next, ab_next
+
     class S(NamedTuple):
         T: jax.Array
         T_best: jax.Array
+        ab: jax.Array
+        ab_best: jax.Array
         r_best: jax.Array
         valid_best: jax.Array
         error: jax.Array
@@ -388,41 +468,43 @@ def lm_level_ic(
         n_inlier: jax.Array
 
     def body(s: S):
-        r, valid = sample_target(s.T)
+        r, valid = sample_target(s.T, s.ab)
         w, err = eval_err(r, valid)
         accept = (err < s.error) & jnp.isfinite(err)
         T_base = jnp.where(accept, s.T, s.T_best)
+        ab_base = jnp.where(accept, s.ab, s.ab_best)
         r_base = jnp.where(accept, r, s.r_best)
         v_base = jnp.where(accept, valid, s.valid_best)
         err_base = jnp.where(accept, err, s.error)
         lam_next = jnp.where(accept, s.lam * 0.5, s.lam * 4.0).clip(1e-7, 1e3)
         delta = solve_from(r_base, v_base, lam_next)
         ok = jnp.all(jnp.isfinite(delta))
-        # Inverse composition: with r = I_tgt - I_ref and b = -J^T W r, the
-        # optimal reference-side increment is exp(-delta), and
-        # T ∘ exp(-delta)^-1 = T ∘ exp(delta) — the same update form as FC.
-        T_next = jnp.where(
-            ok, se3.normalize(se3.compose(T_base, se3.exp(delta))), T_base
-        )
+        T_next, ab_next = apply_delta(T_base, ab_base, delta)
+        T_next = jnp.where(ok, T_next, T_base)
+        ab_next = jnp.where(ok, ab_next, ab_base)
         small = jnp.linalg.norm(delta) < eps
         return S(
-            T=T_next, T_best=T_base, r_best=r_base, valid_best=v_base,
+            T=T_next, T_best=T_base, ab=ab_next, ab_best=ab_base,
+            r_best=r_base, valid_best=v_base,
             error=err_base, lam=lam_next, k=s.k + 1,
             done=(accept & small) | (lam_next > 500.0) | ~ok,
             n_inlier=jnp.where(accept, jnp.sum(valid), s.n_inlier),
         )
 
     delta0 = solve_from(r0, valid0, jnp.asarray(init_lambda, T0.dtype))
+    T1, ab1 = apply_delta(T0, ab0, delta0)
     init = S(
-        T=se3.normalize(se3.compose(T0, se3.exp(delta0))),
-        T_best=T0, r_best=r0, valid_best=valid0, error=err0,
+        T=T1,
+        T_best=T0, ab=ab1, ab_best=ab0, r_best=r0, valid_best=valid0,
+        error=err0,
         lam=jnp.asarray(init_lambda, T0.dtype),
         k=jnp.asarray(0), done=jnp.asarray(False),
         n_inlier=jnp.sum(valid0),
     )
     out = jax.lax.while_loop(lambda s: (~s.done) & (s.k < max_iters), body, init)
     return _LMState(
-        T=out.T_best, T_best=out.T_best, r_best=out.r_best,
+        T=out.T_best, T_best=out.T_best, ab=out.ab_best, ab_best=out.ab_best,
+        r_best=out.r_best,
         J_best=J, valid_best=out.valid_best, error=out.error, lam=out.lam,
         k=out.k, done=out.done, n_inlier=out.n_inlier,
     )
@@ -430,7 +512,9 @@ def lm_level_ic(
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "levels", "max_iters", "weight_kind", "mode"),
+    static_argnames=(
+        "cam", "levels", "max_iters", "weight_kind", "mode", "affine",
+    ),
 )
 def track(
     ref: FramePyramid,
@@ -442,6 +526,7 @@ def track(
     max_iters: int = 10,
     weight_kind: WeightKind = WeightKind.HUBER,
     mode: str = "fc",
+    affine: bool = False,
 ) -> TrackResult:
     """Coarse-to-fine photometric tracking: returns T (target <- reference).
 
@@ -453,8 +538,14 @@ def track(
     mode: "fc" (forward-compositional; gradients sampled in the TARGET at the
     warped points — most accurate) or "ic" (inverse-compositional; constant
     reference-side Jacobian, ~3x less sampling per iteration).
+
+    affine=True jointly estimates DSO-style affine brightness (a, b) per
+    frame pair, threaded coarse-to-fine like the pose — for scenes that
+    violate brightness constancy (underwater attenuation/lighting, exposure
+    changes). The estimate is reported in TrackResult.affine.
     """
     T = jnp.eye(4, dtype=jnp.float32) if T_init is None else T_init
+    ab = jnp.zeros(2, jnp.float32)
     total_iters = jnp.asarray(0)
     last = None
     # max_iters may be one budget for all levels or a per-level schedule
@@ -500,6 +591,8 @@ def track(
                 cam_l,
                 max_iters=lvl_iters,
                 weight_kind=weight_kind,
+                affine=affine,
+                ab0=ab,
             )
         else:
             out = lm_level(
@@ -512,8 +605,11 @@ def track(
                 cam_l,
                 max_iters=lvl_iters,
                 weight_kind=weight_kind,
+                affine=affine,
+                ab0=ab,
             )
         T = out.T
+        ab = out.ab
         total_iters = total_iters + out.k
         last = out
     return TrackResult(
@@ -522,4 +618,5 @@ def track(
         iterations=total_iters,
         inliers=last.n_inlier,
         converged=last.done | (last.error < 1e3),
+        affine=ab,
     )

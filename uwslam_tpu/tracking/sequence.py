@@ -27,7 +27,7 @@ from .points import topk_gradient_points
     jax.jit,
     static_argnames=(
         "cam", "levels", "track_levels", "num_points", "max_iters", "block",
-        "mode",
+        "mode", "affine",
     ),
 )
 def track_sequence(
@@ -41,6 +41,7 @@ def track_sequence(
     max_iters: int = 10,
     block: int = 8,
     mode: str = "fc",
+    affine: bool = False,
 ):
     """Track a stacked sequence (N, H, W) -> relative poses (N-1, 4, 4).
 
@@ -75,7 +76,7 @@ def track_sequence(
         out = track(
             prev_pyr, cur_pyr, prev_pts, cam,
             T_init=T_init, levels=track_levels, max_iters=max_iters,
-            mode=mode,
+            mode=mode, affine=affine,
         )
         return (cur_pyr, cur_pts, out.T), (out.T, out.inliers, out.error)
 
@@ -94,7 +95,7 @@ def track_sequence(
     jax.jit,
     static_argnames=(
         "cam", "levels", "track_levels", "num_points", "max_iters", "block",
-        "mode",
+        "mode", "affine",
     ),
 )
 def track_sequence_batched(
@@ -108,6 +109,7 @@ def track_sequence_batched(
     max_iters: int = 10,
     block: int = 8,
     mode: str = "fc",
+    affine: bool = False,
 ):
     """Fully data-parallel sequence tracking: every adjacent frame pair is an
     independent vmapped LM problem (identity initialization).
@@ -152,6 +154,7 @@ def track_sequence_batched(
         out = track(
             rp, tp, p, cam, T_init=None,
             levels=track_levels, max_iters=max_iters, mode=mode,
+            affine=affine,
         )
         return out.T, out.inliers, out.error
 
