@@ -9,6 +9,12 @@ from .pose_graph import (
     optimize_pose_graph,
     optimize_pose_graph_sim3,
 )
+from .photometric import (
+    PhotoBAProblem,
+    PhotoBAResult,
+    photo_ba_problem_from_keyframes,
+    photometric_bundle_adjust,
+)
 from .schur import (
     BAProblem,
     BAResult,
@@ -19,6 +25,10 @@ from .schur import (
 )
 
 __all__ = [
+    "PhotoBAProblem",
+    "PhotoBAResult",
+    "photometric_bundle_adjust",
+    "photo_ba_problem_from_keyframes",
     "BAProblem",
     "BAResult",
     "bundle_adjust",

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(BASELINE config 2)")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment (BASELINE config 4)")
+    p.add_argument("--photo-ba", action="store_true",
+                   help="direct photometric window BA over keyframe pyramids "
+                        "(the cost the reference's Ceres scaffolding "
+                        "intended) instead of feature reprojection BA")
     p.add_argument("--loop-closure", action="store_true",
                    help="loop detection + pose-graph correction")
     p.add_argument("--mono-depth", type=float, default=1.0,
@@ -245,11 +249,15 @@ def main(argv=None) -> int:
             affine_brightness=args.affine,
         ),
         use_features=args.features,
-        use_ba=args.ba,
+        use_ba=args.ba or args.photo_ba,
         use_loop_closure=args.loop_closure,
         profile=args.profile,
         trajectory_csv=args.trajectory_out,
     )
+    if args.photo_ba:
+        from dataclasses import replace
+
+        config = replace(config, ba=replace(config.ba, photometric=True))
     system = SlamSystem(calib, config)
     if args.resume:
         start_at = system.resume_from(args.resume)

@@ -67,6 +67,13 @@ class KeyframeConfig:
 class BAConfig:
     max_iterations: int = 20
     huber_delta_px: float = 2.0
+    photometric: bool = False            # direct (photometric) window BA over
+                                         # keyframe pyramids instead of
+                                         # feature reprojection BA — the cost
+                                         # the reference's Ceres scaffolding
+                                         # intended (Tracker.h:295-505)
+    photometric_level: int = 1           # pyramid level for photometric BA
+    photometric_huber: float = 12.0      # intensity-unit Huber delta
     # Information weight anchoring window poses to tracked odometry
     # (1/sigma^2 in (units, rad)^-2 summed-residual scale; 0 disables).
     pose_prior_weight: float = 1e5

@@ -425,8 +425,14 @@ class SlamSystem:
                 self.keyframes.insert(kf)
                 self._kf_poses[kf.frame_id] = np.asarray(kf.T_wc)
                 self._on_new_keyframe(kf)
-                if cfg.use_ba and prev_kf is not None and prev_kf.kp_desc is not None:
-                    self._extend_tracks(prev_kf, kf)
+                # Photometric window BA needs no feature tracks; the
+                # reprojection path builds its track graph from matches.
+                ba_ready = cfg.use_ba and prev_kf is not None and (
+                    cfg.ba.photometric or prev_kf.kp_desc is not None
+                )
+                if ba_ready:
+                    if not cfg.ba.photometric:
+                        self._extend_tracks(prev_kf, kf)
                     self._kf_since_ba += 1
                     if self._kf_since_ba >= cfg.ba.run_every_n_keyframes:
                         with self.timers.stage("ba"):
@@ -482,6 +488,52 @@ class SlamSystem:
             np.asarray(uv_a), np.asarray(uv_b), good,
         )
 
+    def _run_window_photo_ba(self):
+        """Direct photometric window BA over keyframe pyramids (the exact
+        cost the reference's ResidualIntensity Ceres scaffolding intended,
+        include/Tracker.h:295-505): joint LM over keyframe poses and
+        per-point inverse depths, Schur-eliminating the diagonal depth
+        block. Refined poses propagate like the reprojection path's."""
+        import jax.numpy as jnp
+
+        from .ba import (
+            photo_ba_problem_from_keyframes,
+            photometric_bundle_adjust,
+        )
+
+        kfs = self.keyframes.keyframes
+        if len(kfs) < 3:
+            return
+        lvl = self.config.ba.photometric_level
+        prob = photo_ba_problem_from_keyframes(
+            [k.pyramid for k in kfs],
+            [se3.inverse(k.T_wc) for k in kfs],
+            [k.points for k in kfs],
+            level=lvl,
+        )
+        out = photometric_bundle_adjust(
+            prob,
+            self.cam.scaled(lvl),
+            max_iters=self.config.ba.max_iterations,
+            huber_delta=self.config.ba.photometric_huber,
+        )
+        if not bool(jnp.isfinite(out.cost)) or float(out.cost) > float(
+            out.initial_cost
+        ):
+            return
+        T_new_wc = [se3.inverse(out.T_cw[i]) for i in range(len(kfs))]
+        last_old = kfs[-1].T_wc
+        for i, k in enumerate(kfs):
+            kfs[i] = k._replace(T_wc=T_new_wc[i])
+            self._kf_poses[k.frame_id] = np.asarray(T_new_wc[i])
+        if self._loops is not None:
+            self._loops.update_poses(
+                {k.frame_id: np.asarray(T_new_wc[i])
+                 for i, k in enumerate(kfs)}
+            )
+        correction = se3.compose(T_new_wc[-1], se3.inverse(last_old))
+        self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
+
     def _run_window_ba(self):
         """Sliding-window bundle adjustment over the keyframe window
         (BASELINE config 4; the capability the reference's commented-out
@@ -489,6 +541,9 @@ class SlamSystem:
         import jax.numpy as jnp
 
         from .ba import bundle_adjust
+
+        if self.config.ba.photometric:
+            return self._run_window_photo_ba()
 
         kfs = self.keyframes.keyframes
         if len(kfs) < 3:

@@ -119,6 +119,41 @@ def render_two_plane_view(
     return jnp.where(t <= 0, 0.0, img)
 
 
+def two_plane_depth(
+    cam: PinholeCamera,
+    T_cam_world: jax.Array,
+    z_near: float = 2.0,
+    z_far: float = 3.5,
+):
+    """Exact per-pixel camera-frame depth for render_two_plane_view's scene
+    (the ray direction has unit z in the camera frame, so depth equals the
+    ray parameter t)."""
+    v, u = jnp.meshgrid(
+        jnp.arange(cam.height, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    d = jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, jnp.ones_like(u)],
+        axis=-1,
+    )
+    T_world_cam = se3.inverse(T_cam_world)
+    Rwc = se3.rotation(T_world_cam)
+    twc = se3.translation(T_world_cam)
+    d_w = jnp.einsum("ij,hwj->hwi", Rwc, d)
+
+    def hit(z):
+        t = (z - twc[2]) / jnp.where(
+            jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2]
+        )
+        return t, twc[0] + t * d_w[..., 0]
+
+    t1, px1 = hit(z_near)
+    t2, _ = hit(z_far)
+    t = jnp.where(px1 < 0.0, t1, t2)
+    return jnp.maximum(t, 0.0)
+
+
 def render_plane_view_distorted(
     cam: PinholeCamera,
     T_cam_world: jax.Array,
