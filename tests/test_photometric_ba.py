@@ -209,3 +209,53 @@ class TestSystemPhotometricBA:
         _, poses = system.export_trajectory()
         rmse = ate_rmse(poses[:, :3, 3], np.stack(gt_wc)[:, :3, 3])
         assert rmse < 0.02, rmse
+
+
+class TestDistributedPhotometricBA:
+    def test_matches_single_device(self):
+        """Observer-sharded photometric BA over a 4-device mesh produces the
+        same refinement as the single-device optimizer (up to float
+        reduction order)."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from uwslam_tpu.parallel import PHOTO_AXIS, distributed_photometric_ba
+
+        T_gt, pyrs, pts, rng = _make_window(seed=3)
+        T_noisy = [T_gt[0]] + [
+            se3.compose(se3.exp(jnp.asarray(
+                rng.normal(scale=0.01, size=6), jnp.float32)), T_gt[k])
+            for k in range(1, K)
+        ]
+        prob = photo_ba_problem_from_keyframes(pyrs, T_noisy, pts, level=LEVEL)
+        single = photometric_bundle_adjust(
+            prob, CAM.scaled(LEVEL), max_iters=10, optimize_depths=False,
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]), (PHOTO_AXIS,))
+        dist = distributed_photometric_ba(
+            prob, CAM.scaled(LEVEL), mesh, max_iters=10,
+            optimize_depths=False,
+        )
+        assert float(dist.cost) < float(dist.initial_cost) * 0.2
+        np.testing.assert_allclose(
+            np.asarray(dist.T_cw), np.asarray(single.T_cw),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_joint_depths_on_mesh(self):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from uwslam_tpu.parallel import PHOTO_AXIS, distributed_photometric_ba
+
+        T_gt, pyrs, pts, rng = _make_window(seed=4, two_plane=True)
+        prob = photo_ba_problem_from_keyframes(pyrs, T_gt, pts, level=0)
+        noise = jnp.asarray(
+            rng.normal(scale=0.04, size=prob.inv_depth.shape), jnp.float32)
+        prob = prob._replace(inv_depth=prob.inv_depth * (1.0 + noise))
+        mesh = Mesh(np.array(jax.devices()[:2]), (PHOTO_AXIS,))
+        out = distributed_photometric_ba(
+            prob, CAM, mesh, max_iters=15, optimize_depths=True,
+        )
+        assert float(out.cost) < float(out.initial_cost) * 0.2, (
+            float(out.initial_cost), float(out.cost))

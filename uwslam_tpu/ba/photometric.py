@@ -62,13 +62,26 @@ class PhotoBAResult(NamedTuple):
     iterations: jax.Array
 
 
-def _observations(problem: PhotoBAProblem, cam: PinholeCamera):
+def _observations(
+    problem: PhotoBAProblem,
+    cam: PinholeCamera,
+    observer_idx: jax.Array | None = None,
+):
     """All-pairs photometric residuals + Jacobians in one batched pass.
 
-    Returns r (K,K,N), Jp (K,K,N,K*6) pose Jacobian, Jd (K,K,N) inverse-depth
-    Jacobian, valid (K,K,N)."""
+    observer_idx selects which GLOBAL keyframes this call observes with:
+    problem.images/grad_x/grad_y then hold only those Kj observer frames
+    (the distributed path shards the observer axis over the mesh; owner-side
+    data stays replicated — it is tiny next to the images). None means all
+    K keyframes observe (single-device, Kj == K).
+
+    Returns r (K,Kj,N), Jp (K,Kj,N,K*6) pose Jacobian, Jd (K,Kj,N)
+    inverse-depth Jacobian, valid (K,Kj,N)."""
     K, N = problem.inv_depth.shape
     T_cw = problem.T_cw
+    if observer_idx is None:
+        observer_idx = jnp.arange(K)
+    T_cw_obs = T_cw[observer_idx]                           # (Kj, 4, 4)
     rho = jnp.maximum(problem.inv_depth, 1e-6)
 
     # Owner-frame points X_i = unproject(uv) / rho.
@@ -79,29 +92,33 @@ def _observations(problem: PhotoBAProblem, cam: PinholeCamera):
     # Relative transforms T_ji = T_cw[j] @ T_cw[i]^-1 for all pairs.
     T_wi = se3.inverse(T_cw)                                # (K, 4, 4)
     T_ji = jnp.einsum(
-        "jab,ibc->jiac", T_cw, T_wi, precision=HIGHEST
+        "jab,ibc->jiac", T_cw_obs, T_wi, precision=HIGHEST
     ).transpose(1, 0, 2, 3)                                 # (i, j, 4, 4)
-    R_ji = T_ji[..., :3, :3]                                # (K, K, 3, 3)
-    t_ji = T_ji[..., :3, 3]                                 # (K, K, 3)
+    R_ji = T_ji[..., :3, :3]                                # (K, Kj, 3, 3)
+    t_ji = T_ji[..., :3, 3]                                 # (K, Kj, 3)
 
     # Observer-frame points X_j[i, j, n] = R_ji X_i + t_ji.
     X_j = (
         jnp.einsum("ijab,inb->ijna", R_ji, X_i, precision=HIGHEST)
         + t_ji[:, :, None, :]
     )                                                       # (K, K, N, 3)
-    uv_j = cam.project(X_j.reshape(-1, 3)).reshape(K, K, N, 2)
+    uv_j = cam.project(X_j.reshape(-1, 3)).reshape(
+        K, observer_idx.shape[0], N, 2
+    )
 
     # Sample observer intensity + gradients: group by observer j.
+    Kj = observer_idx.shape[0]
     stacked = jnp.stack(
         [problem.images, problem.grad_x, problem.grad_y], axis=1
-    )                                                       # (K, 3, H, W)
-    uv_by_j = uv_j.transpose(1, 0, 2, 3).reshape(K, K * N, 2)
+    )                                                       # (Kj, 3, H, W)
+    uv_by_j = uv_j.transpose(1, 0, 2, 3).reshape(Kj, K * N, 2)
     vals, in_img = jax.vmap(bilinear_sample_dense)(stacked, uv_by_j)
-    vals = vals.reshape(K, 3, K, N).transpose(2, 0, 3, 1)   # (i, j, n, 3)
-    in_img = in_img.reshape(K, K, N).transpose(1, 0, 2)     # (i, j, n)
+    vals = vals.reshape(Kj, 3, K, N).transpose(2, 0, 3, 1)  # (i, j, n, 3)
+    in_img = in_img.reshape(Kj, K, N).transpose(1, 0, 2)    # (i, j, n)
     i_t, gx, gy = vals[..., 0], vals[..., 1], vals[..., 2]
 
-    eye_off = ~jnp.eye(K, dtype=bool)                       # exclude j == i
+    # Exclude self-observation (global j == i).
+    eye_off = jnp.arange(K)[:, None] != observer_idx[None, :]
     valid = (
         problem.valid[:, None, :]
         & in_img
@@ -111,7 +128,7 @@ def _observations(problem: PhotoBAProblem, cam: PinholeCamera):
     r = jnp.where(valid, i_t - problem.intensity[:, None, :], 0.0)
 
     # g = image-gradient row times projection Jacobian (1x3 per obs).
-    Jpi = cam.project_jacobian(X_j.reshape(-1, 3)).reshape(K, K, N, 2, 3)
+    Jpi = cam.project_jacobian(X_j.reshape(-1, 3)).reshape(K, Kj, N, 2, 3)
     g = gx[..., None] * Jpi[..., 0, :] + gy[..., None] * Jpi[..., 1, :]
 
     # Observer pose (left update on T_cw[j]): dX_j/dxi_j = [I, -hat(X_j)].
@@ -134,12 +151,14 @@ def _observations(problem: PhotoBAProblem, cam: PinholeCamera):
         "ijnk,ink->ijn", gR, X_i / rho[..., None], precision=HIGHEST
     )
 
-    # Assemble the K*6 pose Jacobian without scatter: one-hot slot selectors.
+    # Assemble the K*6 pose Jacobian without scatter: one-hot slot selectors
+    # (the observer's selector row maps its LOCAL j to its GLOBAL slot).
     I_K = jnp.eye(K, dtype=A.dtype)
+    sel_obs = I_K[observer_idx]                             # (Kj, K)
     Jp = (
         jnp.einsum("ijnd,ik->ijnkd", A, I_K)
-        + jnp.einsum("ijnd,jk->ijnkd", B, I_K)
-    ).reshape(K, K, N, K * 6)
+        + jnp.einsum("ijnd,jk->ijnkd", B, sel_obs)
+    ).reshape(K, Kj, N, K * 6)
 
     m = valid[..., None]
     return r, jnp.where(m, Jp, 0.0), jnp.where(valid, Jd, 0.0), valid

@@ -1,6 +1,7 @@
 """Multi-device scaling: landmark-sharded distributed BA and
 sequence-parallel odometry over jax meshes."""
 from .dist_ba import AXIS, distributed_bundle_adjust, shard_problem
+from .dist_photo_ba import PHOTO_AXIS, distributed_photometric_ba
 from .runtime import (
     grid_mesh,
     init_distributed,
@@ -12,6 +13,8 @@ from .sequence import SEQ_AXIS, track_sequence_sharded
 
 __all__ = [
     "distributed_bundle_adjust",
+    "distributed_photometric_ba",
+    "PHOTO_AXIS",
     "shard_problem",
     "AXIS",
     "init_distributed",
