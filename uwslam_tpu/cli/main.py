@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="loop detection + pose-graph correction")
     p.add_argument("--mono-depth", type=float, default=1.0,
                    help="assumed scene depth for pure-mono tracking")
+    p.add_argument("--depth-bootstrap", action="store_true",
+                   help="monocular depth bootstrapping: triangulate feature "
+                        "matches against the tracked pose and feed the "
+                        "coarse inverse-depth prior to point selection "
+                        "(replaces the constant mono-depth assumption; "
+                        "implies --features)")
     p.add_argument("--num-points", type=int, default=2048,
                    help="tracked point budget per frame")
     p.add_argument("--viz-port", type=int, default=None,
@@ -247,8 +253,9 @@ def main(argv=None) -> int:
             num_points=args.num_points,
             track_mode=args.track_mode,
             affine_brightness=args.affine,
+            depth_bootstrap=args.depth_bootstrap,
         ),
-        use_features=args.features,
+        use_features=args.features or args.depth_bootstrap,
         use_ba=args.ba or args.photo_ba,
         use_loop_closure=args.loop_closure,
         profile=args.profile,

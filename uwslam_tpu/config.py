@@ -28,7 +28,14 @@ class TrackerConfig:
     point_mode: str = "semi_dense"       # "semi_dense" (ObtainCandidatePoints)
                                          # | "dense" (ObtainAllPoints)
     dense_stride: int = 2                # pixel stride in dense mode
-    weight_kind: WeightKind = WeightKind.HUBER
+    # Tukey by default: its redescending rejection is what survives occlusion
+    # boundaries (measured on the multi-plane synthetic scene: Huber's
+    # monotone weights let occluded points drag the pose 25% short in
+    # translation, and its per-level MAD scale is estimated at the INITIAL
+    # pose where inlier residuals are still large; Tukey re-estimates scale
+    # per iteration and recovers |t| to within 4%). The reference ships the
+    # same constant (4.6851, src/Tracker.cpp:1626) but runs identity weights.
+    weight_kind: WeightKind = WeightKind.TUKEY
     track_mode: str = "fc"               # "fc" | "ic" (inverse compositional:
                                          # constant ref-side J, ~3x less
                                          # sampling per LM iteration)
@@ -38,6 +45,32 @@ class TrackerConfig:
     mono_depth: float = 1.0              # z=1 when no depth (Tracker.cpp:1228)
     depth_factor: float = 0.0002         # TUM 16-bit depth scaling
     min_inliers: int = 100               # tracking-failure threshold
+    # Monocular depth bootstrapping (needs use_features): triangulate the
+    # feature matches against the tracked pose and feed the resulting coarse
+    # inverse-depth prior to point selection, replacing the constant-z
+    # fallback (the thing the reference hardcodes at Tracker.cpp:1228-1232).
+    depth_bootstrap: bool = False
+    bootstrap_block: int = 32            # prior grid cell size (pixels)
+    bootstrap_anchor_frames: int = 10    # init window: triangulate vs the
+    #                                      first frame over the composed
+    #                                      (wide) baseline for this many
+    #                                      frames — two-view depth noise
+    #                                      falls as 1/baseline
+    bootstrap_edge_ratio: float = 0.0    # >0: drop selected points whose
+    #                                      prior read straddles a depth edge
+    #                                      (cell disagreement > this ratio).
+    #                                      OFF by default: measured WORSE on
+    #                                      occluding scenes — it preferentially
+    #                                      culls the highest-parallax (near-
+    #                                      edge) points that constrain
+    #                                      translation best; the Tukey
+    #                                      weights already down-weight the
+    #                                      phantom-depth residuals.
+    bootstrap_refine_points: bool = False
+    # Per-point photometric depth refinement of freshly-selected points.
+    # OFF: measured 2-3%/frame monocular scale shrink — the refinement is
+    # near-biased at occlusion boundaries and feeds the pose directly,
+    # bypassing the prior's gauge anchor. Kept for RGBD-free experimentation.
 
 
 @dataclass(frozen=True)

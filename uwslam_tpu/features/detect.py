@@ -76,7 +76,7 @@ def detect_level(
     grad_x: jax.Array,
     grad_y: jax.Array,
     max_keypoints: int = 512,
-    min_response_rel: float = 0.01,
+    min_response_rel: float = 1e-3,
     border: int = 8,
     shi_tomasi: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -85,7 +85,12 @@ def detect_level(
     The acceptance threshold is RELATIVE to the strongest response on the
     level (like cv::goodFeaturesToTrack's qualityLevel): absolute Harris
     magnitudes scale with texture contrast^4 and are meaningless across
-    scenes."""
+    scenes. Default 1e-3: Harris's quartic contrast scaling means 1e-3 in
+    response is ~18%% in contrast — 0.01 starved low-contrast scenes to
+    ~100 keypoints and broke essential-matrix bootstrapping (measured:
+    two-view dir_cos -0.17 at 0.01 vs 0.996 at 1e-3 on the multi-plane
+    synthetic scene). Weak corners are filtered downstream by
+    ratio+symmetry+RANSAC."""
     H, W = grad_x.shape
     raw_resp = harris_response(grad_x, grad_y, shi_tomasi=shi_tomasi)
     resp = nms_maxpool(raw_resp)
@@ -131,7 +136,7 @@ def detect_multiscale(
     grad_y_pyr: tuple[jax.Array, ...],
     per_level: int = 256,
     levels: int = 3,
-    min_response_rel: float = 0.01,
+    min_response_rel: float = 1e-3,
 ) -> Keypoints:
     """Detect on the first `levels` pyramid levels; coordinates scaled to
     level 0. Total capacity = per_level * levels."""

@@ -8,6 +8,8 @@ The reference has no equivalent; it eyeballed Rviz overlays.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -208,6 +210,176 @@ def plane_depth(cam: PinholeCamera, T_cam_world: jax.Array, plane_z: float = 2.0
     )
     # Depth along the camera z axis = t * d_z(cam) = t * 1.
     return jnp.clip(t, 0.0, None)
+
+
+class PlaneSpec(NamedTuple):
+    """A finite textured plane patch: point p0, in-plane axes e1/e2 (unit,
+    orthogonal), half-extents (a1, a2) in plane coords (<=0 means infinite),
+    and a texture seed. Used by render_scene_view for multi-plane scenes
+    with real occlusion boundaries."""
+
+    p0: jax.Array       # (3,) a point on the plane (world frame)
+    e1: jax.Array       # (3,) in-plane axis
+    e2: jax.Array       # (3,) in-plane axis
+    a1: float           # half extent along e1 (<=0: infinite)
+    a2: float           # half extent along e2 (<=0: infinite)
+    seed: int = 0
+    detail: float = 1.0
+
+
+def make_plane(
+    center, normal=(0.0, 0.0, -1.0), extent=(0.0, 0.0), seed=0, detail=1.0
+) -> PlaneSpec:
+    """Build a PlaneSpec from a center point + outward normal.
+
+    The in-plane axes are any orthonormal completion of the normal; texture
+    coordinates are measured along them."""
+    n = jnp.asarray(normal, jnp.float32)
+    n = n / jnp.linalg.norm(n)
+    up = jnp.where(jnp.abs(n[1]) < 0.9,
+                   jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    e1 = jnp.cross(up, n)
+    e1 = e1 / jnp.linalg.norm(e1)
+    e2 = jnp.cross(n, e1)
+    return PlaneSpec(
+        p0=jnp.asarray(center, jnp.float32), e1=e1, e2=e2,
+        a1=float(extent[0]), a2=float(extent[1]),
+        seed=seed, detail=detail,
+    )
+
+
+def default_scene() -> tuple[PlaneSpec, ...]:
+    """A canonical non-planar test scene: infinite background plane at z=4,
+    a large tilted mid plane, and two closer occluding patches. Every view
+    from near the origin sees occlusion boundaries and >=3 distinct depths —
+    the structure a constant-z mono assumption gets badly wrong."""
+    return (
+        # Background: infinite wall at z=4 (slightly tilted).
+        make_plane((0.0, 0.0, 4.0), normal=(0.05, -0.02, -1.0), seed=3,
+                   detail=0.9),
+        # Mid: big tilted slab on the left half.
+        make_plane((-0.9, 0.1, 2.6), normal=(0.35, 0.1, -1.0),
+                   extent=(1.1, 1.4), seed=7, detail=1.2),
+        # Near: small patch right-of-center.
+        make_plane((0.55, -0.25, 1.8), normal=(-0.1, 0.05, -1.0),
+                   extent=(0.45, 0.5), seed=11, detail=1.5),
+        # Near-bottom strip.
+        make_plane((-0.1, 0.75, 2.1), normal=(0.0, -0.3, -1.0),
+                   extent=(0.9, 0.25), seed=5, detail=1.3),
+    )
+
+
+def _ray_grid(cam: PinholeCamera):
+    v, u = jnp.meshgrid(
+        jnp.arange(cam.height, dtype=jnp.float32),
+        jnp.arange(cam.width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.stack(
+        [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, jnp.ones_like(u)],
+        axis=-1,
+    )  # (H, W, 3) camera-frame ray directions with unit z
+
+
+def _raycast_scene(cam, T_cam_world, scene):
+    """Shared ray-cast: returns (t, px, py, plane_idx) of the nearest hit.
+
+    t is the ray parameter == camera-frame depth (rays have unit z)."""
+    d = _ray_grid(cam)
+    T_world_cam = se3.inverse(T_cam_world)
+    Rwc = se3.rotation(T_world_cam)
+    twc = se3.translation(T_world_cam)
+    d_w = jnp.einsum("ij,hwj->hwi", Rwc, d)
+
+    BIG = 1e9
+    t_best = jnp.full(d.shape[:2], BIG)
+    px_best = jnp.zeros(d.shape[:2])
+    py_best = jnp.zeros(d.shape[:2])
+    idx_best = jnp.full(d.shape[:2], -1, jnp.int32)
+    for i, pl in enumerate(scene):
+        n = jnp.cross(pl.e1, pl.e2)
+        denom = jnp.einsum("hwi,i->hw", d_w, n)
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t = jnp.dot(pl.p0 - twc, n) / denom
+        X = twc[None, None, :] + t[..., None] * d_w
+        rel = X - pl.p0
+        s1 = jnp.einsum("hwi,i->hw", rel, pl.e1)
+        s2 = jnp.einsum("hwi,i->hw", rel, pl.e2)
+        inside = jnp.ones_like(t, bool)
+        if pl.a1 > 0:
+            inside &= jnp.abs(s1) <= pl.a1
+        if pl.a2 > 0:
+            inside &= jnp.abs(s2) <= pl.a2
+        hit = (t > 1e-4) & inside & (t < t_best)
+        t_best = jnp.where(hit, t, t_best)
+        px_best = jnp.where(hit, s1, px_best)
+        py_best = jnp.where(hit, s2, py_best)
+        idx_best = jnp.where(hit, i, idx_best)
+    return t_best, px_best, py_best, idx_best
+
+
+def render_scene_view(
+    cam: PinholeCamera,
+    T_cam_world: jax.Array,
+    scene: tuple[PlaneSpec, ...] | None = None,
+) -> jax.Array:
+    """Render a multi-plane occluding scene (nearest-hit ray cast against
+    every PlaneSpec). Unlike render_plane_view / render_two_plane_view this
+    produces real occlusion boundaries, depth discontinuities, and per-plane
+    textures — the geometry VERDICT.md flagged the single-plane scenes as
+    too easy without."""
+    scene = default_scene() if scene is None else scene
+    t, px, py, idx = _raycast_scene(cam, T_cam_world, scene)
+    img = jnp.zeros(t.shape)
+    for i, pl in enumerate(scene):
+        tex = smooth_texture(px * 3.0, py * 3.0, seed=pl.seed,
+                             detail=pl.detail)
+        img = jnp.where(idx == i, tex, img)
+    return jnp.where(idx >= 0, img, 0.0)
+
+
+def scene_depth(
+    cam: PinholeCamera,
+    T_cam_world: jax.Array,
+    scene: tuple[PlaneSpec, ...] | None = None,
+) -> jax.Array:
+    """Exact camera-frame depth (z along the optical axis) of the
+    render_scene_view geometry; 0 where no plane is hit."""
+    scene = default_scene() if scene is None else scene
+    t, _, _, idx = _raycast_scene(cam, T_cam_world, scene)
+    return jnp.where(idx >= 0, t, 0.0)
+
+
+def apply_photometric(
+    image: jax.Array,
+    key: jax.Array,
+    noise_sigma: float = 2.0,
+    gain: float = 1.0,
+    bias: float = 0.0,
+) -> jax.Array:
+    """Photometric degradation: brightness drift (gain/bias — the underwater
+    attenuation / exposure-change model the affine-brightness tracker
+    compensates) + additive Gaussian sensor noise, clipped to [0, 255]."""
+    img = image * gain + bias
+    if noise_sigma > 0:
+        img = img + noise_sigma * jax.random.normal(key, image.shape)
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def depth_holes(
+    depth: jax.Array,
+    key: jax.Array,
+    hole_frac: float = 0.2,
+    block: int = 16,
+) -> jax.Array:
+    """Knock out random blocks of a depth map (depth=0 == invalid), modeling
+    the holes real TUM depth PNGs carry at occlusion boundaries and
+    reflective surfaces. hole_frac is the expected fraction of blocks lost."""
+    H, W = depth.shape
+    Hb, Wb = -(-H // block), -(-W // block)
+    drop = jax.random.uniform(key, (Hb, Wb)) < hole_frac
+    drop_full = jnp.repeat(jnp.repeat(drop, block, 0), block, 1)[:H, :W]
+    return jnp.where(drop_full, 0.0, depth)
 
 
 def orbit_trajectory(num_frames: int, radius: float = 0.05, step: float = 0.02):
