@@ -1,0 +1,468 @@
+"""Evaluation harness — BASELINE.json configs 1-5 end-to-end through the CLI.
+
+Runs every staged config (direct tracking -> features/keyframes -> rectified
+LM tracking -> sliding-window Schur BA -> multi-device distributed BA) and
+writes the measured ATE RMSE / tracked fps / BA iters/s into RESULTS.md +
+RESULTS_r<N>.json. One command reproduces the whole table:
+
+    python eval.py [--round 2] [--quick]
+
+Dataset note (documented per VERDICT round-1 item 1): real TUM/EUROC
+sequences are NOT fetchable on this rig (no network egress), so each config
+runs on a synthetic stand-in that reproduces the dataset's format and
+difficulty profile:
+  - geometry: multi-plane occluding scenes (utils.synthetic.PlaneSpec ray
+    cast) — real depth discontinuities, 1.4..5 m depth range, not the
+    single fronto-parallel plane of round 1;
+  - photometrics: Gaussian sensor noise + per-frame brightness drift
+    (gain/bias), the underwater-attenuation model the affine tracker
+    compensates;
+  - formats: TUM directory + groundtruth.txt (3 header lines, space-sep,
+    reference reader /root/reference/src/Visualizer.cpp:449-477) and EUROC
+    mav0/cam0/data + state CSV (skip-1, comma-sep, ns timestamps,
+    /root/reference/src/Visualizer.cpp:479-505), calibration XML in the
+    reference's OpenCV schema (calibration/calibrationTUM.xml,
+    calibrationEUROC.xml) including radtan distortion for the EUROC
+    configs (rectification path exercised end-to-end).
+Ground truth is exact (analytic ray-cast), so ATE numbers are clean
+measurements of the pipeline, not of dataset association noise.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DATA_ROOT = os.environ.get("UWSLAM_EVAL_DATA", "/tmp/uwslam_eval")
+
+
+# --------------------------------------------------------------------- scenes
+
+def _scene(kind: str):
+    """Deep multi-plane occluding scenes (depth ratio ~3.5x) per dataset.
+
+    octaves=4: broadband (1/f) texture — narrowband sinusoids alias at
+    coarse pyramid levels and create periodic fine-level minima, a failure
+    mode real scenes do not have (see synthetic.fractal_texture)."""
+    from uwslam_tpu.utils.synthetic import make_plane
+
+    if kind == "tum":
+        return (
+            make_plane((0.0, 0.0, 5.0), normal=(0.05, -0.02, -1.0), seed=3,
+                       detail=0.9, octaves=4),
+            make_plane((-0.9, 0.1, 2.4), normal=(0.35, 0.1, -1.0),
+                       extent=(1.1, 1.4), seed=7, detail=1.2, octaves=4),
+            make_plane((0.5, -0.2, 1.4), normal=(-0.1, 0.05, -1.0),
+                       extent=(0.5, 0.55), seed=11, detail=1.5, octaves=4),
+            make_plane((-0.15, 0.6, 1.8), normal=(0.0, -0.3, -1.0),
+                       extent=(0.9, 0.3), seed=5, detail=1.3, octaves=4),
+        )
+    if kind == "euroc_mh":  # machine-hall-ish: deeper, wider structures
+        return (
+            make_plane((0.0, 0.2, 6.0), normal=(-0.03, -0.05, -1.0), seed=13,
+                       detail=0.8, octaves=4),
+            make_plane((1.0, -0.1, 3.2), normal=(-0.3, 0.05, -1.0),
+                       extent=(1.3, 1.2), seed=17, detail=1.1, octaves=4),
+            make_plane((-0.8, 0.3, 2.0), normal=(0.2, -0.1, -1.0),
+                       extent=(0.6, 0.8), seed=19, detail=1.4, octaves=4),
+            make_plane((0.1, -0.7, 2.6), normal=(0.0, 0.25, -1.0),
+                       extent=(1.0, 0.35), seed=23, detail=1.2, octaves=4),
+        )
+    if kind == "euroc_v1":  # vicon-room-ish: closer walls
+        return (
+            make_plane((0.0, 0.0, 4.2), normal=(0.02, 0.04, -1.0), seed=29,
+                       detail=1.0, octaves=4),
+            make_plane((-0.7, -0.2, 2.2), normal=(0.3, -0.05, -1.0),
+                       extent=(0.9, 1.0), seed=31, detail=1.3, octaves=4),
+            make_plane((0.6, 0.25, 1.6), normal=(-0.15, -0.1, -1.0),
+                       extent=(0.5, 0.5), seed=37, detail=1.5, octaves=4),
+        )
+    raise ValueError(kind)
+
+
+def _trajectory(n: int, scale: float = 1.0):
+    """Smooth parallax-rich camera path (translation + rotation), bounded so
+    the scene stays in view; adjacent-frame motion ~2-4 px at the TUM design
+    point. Returns list of (4,4) T_cam_world."""
+    import jax.numpy as jnp
+
+    from uwslam_tpu.lie import se3
+
+    poses = []
+    for i in range(n):
+        xi = jnp.asarray(
+            [
+                scale * (0.30 * jnp.sin(0.045 * i)),
+                scale * (0.12 * jnp.sin(0.032 * i + 0.7)),
+                scale * (0.10 * jnp.sin(0.026 * i + 1.9)),
+                0.030 * jnp.sin(0.040 * i + 0.3),
+                0.045 * jnp.sin(0.033 * i + 2.1),
+                0.020 * jnp.sin(0.050 * i + 1.1),
+            ],
+            jnp.float32,
+        )
+        poses.append(se3.exp(xi))
+    return poses
+
+
+# ------------------------------------------------------------------- datasets
+
+def _write_tum_calib(path, fx, fy, cx, cy, w, h, dist=(0, 0, 0, 0),
+                     out_w=None, out_h=None):
+    out_w = out_w or w
+    out_h = out_h or h
+    with open(path, "w") as f:
+        f.write(f"""<?xml version="1.0"?><opencv_storage>
+<in_width>{w}</in_width><in_height>{h}</in_height>
+<out_width>{out_w}</out_width><out_height>{out_h}</out_height>
+<calibration_values type_id="opencv-matrix"><rows>1</rows><cols>4</cols>
+<dt>f</dt><data>{fx} {fy} {cx} {cy}</data></calibration_values>
+<rectification type_id="opencv-matrix"><rows>1</rows><cols>4</cols>
+<dt>f</dt><data>{dist[0]} {dist[1]} {dist[2]} {dist[3]}</data>
+</rectification></opencv_storage>""")
+
+
+def _save_gray_png(path, arr):
+    import numpy as np
+    from PIL import Image
+
+    Image.fromarray(np.clip(np.asarray(arr), 0, 255).astype(np.uint8)).save(
+        path
+    )
+
+
+def make_tum_dataset(root: str, n_frames: int, seed: int = 0,
+                     noise_sigma: float = 1.5) -> dict:
+    """TUM-format: 640x480 fx=fy=525 (reference calibrationTUM.xml:7-21),
+    rgb/<ts>.png at 30 Hz + groundtruth.txt + calib XML."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwslam_tpu.camera import PinholeCamera
+    from uwslam_tpu.lie import se3, so3
+    from uwslam_tpu.utils.synthetic import apply_photometric, render_scene_view
+
+    if os.path.exists(os.path.join(root, "DONE")):
+        return {"root": root, "gt": os.path.join(root, "groundtruth.txt"),
+                "calib": os.path.join(root, "calib.xml"),
+                "rgb": os.path.join(root, "rgb")}
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    cam = PinholeCamera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+                        width=640, height=480)
+    scene = _scene("tum")
+    poses = _trajectory(n_frames)
+    render = jax.jit(lambda T: render_scene_view(cam, T, scene))
+    rows = []
+    for i, T_cw in enumerate(poses):
+        ts = i / 30.0
+        img = render(T_cw)
+        # brightness drift: slow gain/bias wander (exposure / attenuation)
+        gain = 1.0 + 0.04 * np.sin(0.11 * i)
+        bias = 3.0 * np.sin(0.07 * i + 1.0)
+        img = apply_photometric(
+            img, jax.random.PRNGKey(seed * 10007 + i),
+            noise_sigma=noise_sigma, gain=gain, bias=bias,
+        )
+        _save_gray_png(os.path.join(root, "rgb", f"{ts:012.6f}.png"), img)
+        T_wc = np.asarray(se3.inverse(T_cw))
+        q = np.asarray(so3.to_quaternion(jnp.asarray(T_wc[:3, :3])))
+        rows.append((ts, T_wc[:3, 3], q))
+    with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+        f.write("# ground truth trajectory\n# synthetic multi-plane scene\n"
+                "# ts tx ty tz qx qy qz qw\n")
+        for ts, t, q in rows:
+            f.write(f"{ts:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+    _write_tum_calib(os.path.join(root, "calib.xml"),
+                     525.0, 525.0, 319.5, 239.5, 640, 480)
+    open(os.path.join(root, "DONE"), "w").close()
+    return {"root": root, "gt": os.path.join(root, "groundtruth.txt"),
+            "calib": os.path.join(root, "calib.xml"),
+            "rgb": os.path.join(root, "rgb")}
+
+
+def make_euroc_dataset(root: str, n_frames: int, kind: str = "euroc_mh",
+                       seed: int = 1, noise_sigma: float = 1.5) -> dict:
+    """EUROC-format: 752x480 with radtan distortion (reference
+    calibrationEUROC.xml:7-28 — real MAV0 cam0 coefficients), mav0 layout
+    <root>/cam0/data/<ns>.png + state groundtruth CSV."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uwslam_tpu.camera import PinholeCamera
+    from uwslam_tpu.lie import se3, so3
+    from uwslam_tpu.utils.synthetic import (
+        apply_photometric,
+        render_scene_view_distorted,
+    )
+
+    gt_path = os.path.join(root, "state_groundtruth_estimate0", "data.csv")
+    if os.path.exists(os.path.join(root, "DONE")):
+        return {"root": root, "gt": gt_path,
+                "calib": os.path.join(root, "calib.xml")}
+    os.makedirs(os.path.join(root, "cam0", "data"), exist_ok=True)
+    os.makedirs(os.path.dirname(gt_path), exist_ok=True)
+    # EUROC cam0 intrinsics + radtan distortion (the real sequence values).
+    cam = PinholeCamera(
+        fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+        width=752, height=480,
+        k1=-0.28340811, k2=0.07395907, p1=0.00019359, p2=1.76187114e-05,
+    )
+    scene = _scene(kind)
+    poses = _trajectory(n_frames, scale=1.2)
+    render = jax.jit(lambda T: render_scene_view_distorted(cam, T, scene))
+    gt_rows = []
+    for i, T_cw in enumerate(poses):
+        ts_ns = int(round(i / 20.0 * 1e9))  # EUROC cam0 is 20 Hz
+        img = render(T_cw)
+        gain = 1.0 + 0.05 * np.sin(0.09 * i + 0.4)
+        bias = 4.0 * np.sin(0.06 * i)
+        img = apply_photometric(
+            img, jax.random.PRNGKey(seed * 20011 + i),
+            noise_sigma=noise_sigma, gain=gain, bias=bias,
+        )
+        _save_gray_png(
+            os.path.join(root, "cam0", "data", f"{ts_ns:019d}.png"), img
+        )
+        T_wc = np.asarray(se3.inverse(T_cw))
+        q = np.asarray(so3.to_quaternion(jnp.asarray(T_wc[:3, :3])))
+        gt_rows.append((ts_ns, T_wc[:3, 3], q))
+    with open(gt_path, "w") as f:
+        f.write("#timestamp,p_x,p_y,p_z,q_w,q_x,q_y,q_z\n")
+        for ts_ns, t, q in gt_rows:
+            f.write(f"{ts_ns},{t[0]:.6f},{t[1]:.6f},{t[2]:.6f},"
+                    f"{q[0]:.6f},{q[1]:.6f},{q[2]:.6f},{q[3]:.6f}\n")
+    _write_tum_calib(
+        os.path.join(root, "calib.xml"),
+        458.654, 457.296, 367.215, 248.375, 752, 480,
+        dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+        out_w=736, out_h=480,  # reference out dims (calibrationEUROC.xml)
+    )
+    open(os.path.join(root, "DONE"), "w").close()
+    return {"root": root, "gt": gt_path,
+            "calib": os.path.join(root, "calib.xml")}
+
+
+# ------------------------------------------------------------------ execution
+
+ATE_RE = re.compile(r"ATE RMSE \(Sim3-aligned\): ([0-9.naife+-]+) m over (\d+)")
+FPS_RE = re.compile(r"tracked (\d+) frames in ([0-9.]+)s \(([0-9.]+) fps")
+WBA_RE = re.compile(
+    r"window BA: (\d+) LM iters over (\d+) runs in ([0-9.]+)s "
+    r"\(([0-9.]+) iters/s\)"
+)
+DBA_RE = re.compile(
+    r"dist BA: (\d+) kfs, (\d+) landmarks, (\d+) obs over (\d+) devices: "
+    r"(\d+) iters in ([0-9.]+)s \(([0-9.]+) iters/s\)"
+)
+
+
+def run_cli(cli_args: list[str], timeout: int = 3600) -> dict:
+    """Run the CLI in a subprocess; parse fps / ATE / BA stats."""
+    cmd = [sys.executable, "-m", "uwslam_tpu"] + cli_args
+    print(f"  $ {' '.join(cmd)}", flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, cwd=REPO,
+    )
+    wall = time.perf_counter() - t0
+    out = proc.stdout + proc.stderr
+    res: dict = {"rc": proc.returncode, "wall_s": round(wall, 1)}
+    if proc.returncode != 0:
+        res["error"] = out[-2000:]
+        return res
+    m = ATE_RE.search(out)
+    if m:
+        res["ate_rmse_m"] = float(m.group(1))
+        res["ate_poses"] = int(m.group(2))
+    m = FPS_RE.search(out)
+    if m:
+        res["frames"] = int(m.group(1))
+        res["fps"] = float(m.group(3))
+    m = WBA_RE.search(out)
+    if m:
+        res["window_ba_iters"] = int(m.group(1))
+        res["window_ba_iters_per_sec"] = float(m.group(4))
+    m = DBA_RE.search(out)
+    if m:
+        res["dist_ba_keyframes"] = int(m.group(1))
+        res["dist_ba_landmarks"] = int(m.group(2))
+        res["dist_ba_obs"] = int(m.group(3))
+        res["dist_ba_devices"] = int(m.group(4))
+        res["dist_ba_iters_per_sec"] = float(m.group(7))
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--round", type=int, default=2,
+                    help="round number for the RESULTS_r<N>.json filename")
+    ap.add_argument("--quick", action="store_true",
+                    help="shorter sequences (smoke-test the harness)")
+    ap.add_argument("--configs", default="1,2,3,4,5",
+                    help="comma-separated subset to run")
+    args = ap.parse_args()
+    which = {int(c) for c in args.configs.split(",")}
+
+    n_tum = 60 if args.quick else 150
+    n_euroc = 50 if args.quick else 120
+    n_long = 80 if args.quick else 240
+
+    print("generating datasets...", flush=True)
+    tum = make_tum_dataset(os.path.join(DATA_ROOT, "tum_seq01"), n_tum)
+    tum_long = make_tum_dataset(
+        os.path.join(DATA_ROOT, "tum_long"), n_long, seed=4
+    )
+    mh01 = make_euroc_dataset(
+        os.path.join(DATA_ROOT, "euroc_mh01"), n_euroc, kind="euroc_mh",
+    )
+    v101 = make_euroc_dataset(
+        os.path.join(DATA_ROOT, "euroc_v101"), n_euroc, kind="euroc_v1",
+        seed=2,
+    )
+
+    configs = {
+        1: {
+            "name": "TUM mono direct tracking (3-level pyramid, no BA)",
+            "baseline": "TUM mono seq01 direct tracking, 3-level pyramid, "
+                        "GN on SE(3), no BA",
+            "dataset": "tum_seq01 (synthetic multi-plane stand-in)",
+            "args": ["-d", tum["rgb"], "-c", tum["calib"],
+                     "--tum-gt", tum["gt"], "--levels", "3",
+                     "--mono-depth", "2.5"],
+        },
+        2: {
+            "name": "TUM mono + features/keyframes + depth bootstrap",
+            "baseline": "TUM mono with feature detection + patch matching "
+                        "and keyframe selection",
+            "dataset": "tum_seq01 (same frames as config 1)",
+            "args": ["-d", tum["rgb"], "-c", tum["calib"],
+                     "--tum-gt", tum["gt"], "--levels", "5",
+                     "--mono-depth", "2.5", "--features",
+                     "--depth-bootstrap"],
+        },
+        3: {
+            "name": "EUROC MH01 rectified LM tracking (5-level, affine)",
+            "baseline": "EUROC MAV MH_01 with distortion rectification + LM "
+                        "photometric tracking, 5-level pyramid",
+            "dataset": "euroc_mh01 (radtan-distorted synthetic stand-in)",
+            "args": ["-d", mh01["root"], "--euroc", "-c", mh01["calib"],
+                     "--euroc-gt", mh01["gt"], "--levels", "5",
+                     "--mono-depth", "3.0", "--affine",
+                     "--depth-bootstrap"],
+        },
+        4: {
+            "name": "EUROC V101 sliding-window Schur BA",
+            "baseline": "Keyframe sliding-window bundle adjustment (Schur "
+                        "complement) on EUROC V1_01",
+            "dataset": "euroc_v101 (radtan-distorted synthetic stand-in)",
+            "args": ["-d", v101["root"], "--euroc", "-c", v101["calib"],
+                     "--euroc-gt", v101["gt"], "--levels", "5",
+                     "--mono-depth", "2.5", "--features", "--ba",
+                     "--depth-bootstrap"],
+        },
+        5: {
+            "name": "Long TUM + global distributed BA (8-device mesh)",
+            "baseline": "Full multi-host run: partitioned keyframe map + "
+                        "distributed pose-graph BA on long TUM sequence",
+            "dataset": "tum_long (240 frames; 8 virtual devices, landmark-"
+                        "sharded Schur BA with psum pose reduction)",
+            "args": ["-d", tum_long["rgb"], "-c", tum_long["calib"],
+                     "--tum-gt", tum_long["gt"], "--levels", "4",
+                     "--mono-depth", "2.5", "--features", "--ba",
+                     "--depth-bootstrap", "--dist-ba",
+                     "--platform", "cpu", "--host-devices", "8"],
+        },
+    }
+
+    results = {}
+    for idx in sorted(which):
+        cfg = configs[idx]
+        print(f"config {idx}: {cfg['name']}", flush=True)
+        res = run_cli(cfg["args"])
+        res.update(
+            {"name": cfg["name"], "baseline_config": cfg["baseline"],
+             "dataset": cfg["dataset"]}
+        )
+        results[str(idx)] = res
+        print(f"  -> {json.dumps({k: v for k, v in res.items() if k not in ('name', 'baseline_config', 'dataset', 'error')})}",
+              flush=True)
+        if "error" in res:
+            print(res["error"], flush=True)
+
+    out_json = os.path.join(REPO, f"RESULTS_r{args.round:02d}.json")
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    write_results_md(results, os.path.join(REPO, "RESULTS.md"))
+    print(f"wrote {out_json} and RESULTS.md")
+    return 0
+
+
+def write_results_md(results: dict, path: str) -> None:
+    lines = [
+        "# RESULTS — BASELINE.json staged configs, measured end-to-end",
+        "",
+        "Produced by `python eval.py` (one command reproduces this table).",
+        "Hardware: whatever `jax.devices()` exposes — TPU v5e single chip "
+        "for configs 1-4; config 5 runs on an 8-virtual-device CPU mesh "
+        "(`--platform cpu --host-devices 8`) because multi-chip hardware "
+        "is not attached to this rig.",
+        "",
+        "**Dataset caveat (per VERDICT r1 item 1):** real TUM/EUROC are not "
+        "fetchable here (no network egress). Each config runs a synthetic "
+        "stand-in: multi-plane occluding scenes (depth ratio ~3.5x, real "
+        "occlusion boundaries), Gaussian sensor noise, per-frame brightness "
+        "drift, exact analytic ground truth, and the dataset's real on-disk "
+        "format (TUM dir + groundtruth.txt; EUROC mav0 layout + state CSV + "
+        "radtan distortion with the real MH01 cam0 coefficients, "
+        "rectification exercised end-to-end).",
+        "",
+        "| # | Config (BASELINE.json) | ATE RMSE (m) | fps | BA iters/s | notes |",
+        "|---|---|---|---|---|---|",
+    ]
+    for idx in sorted(results, key=int):
+        r = results[idx]
+        ate = f"{r['ate_rmse_m']:.4f}" if "ate_rmse_m" in r else "—"
+        fps = f"{r['fps']:.1f}" if "fps" in r else "—"
+        ba = (
+            f"{r['dist_ba_iters_per_sec']:.1f} (dist, "
+            f"{r.get('dist_ba_devices', '?')} dev)"
+            if "dist_ba_iters_per_sec" in r
+            else f"{r['window_ba_iters_per_sec']:.1f} (window)"
+            if "window_ba_iters_per_sec" in r
+            else "—"
+        )
+        notes = []
+        if "frames" in r:
+            notes.append(f"{r['frames']} frames")
+        if "dist_ba_landmarks" in r:
+            notes.append(
+                f"{r['dist_ba_landmarks']} landmarks/"
+                f"{r['dist_ba_obs']} obs global BA"
+            )
+        if r.get("rc") != 0:
+            notes.append("FAILED")
+        lines.append(
+            f"| {idx} | {r['baseline_config']} | {ate} | {fps} | {ba} | "
+            f"{'; '.join(notes)} |"
+        )
+    lines += [
+        "",
+        "ATE context: the camera path spans ~0.6 m excursion over 1.4-6 m "
+        "deep scenes; monocular scale is resolved only up to gauge, so ATE "
+        "is Sim(3)-aligned (the standard monocular protocol).",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

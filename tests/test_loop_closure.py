@@ -70,6 +70,68 @@ class TestPoseGraphCorrection:
         assert err_after < 0.5 * err_before, (err_before, err_after)
 
 
+class TestSim3ScaleDriftCorrection:
+    def test_injected_scale_drift_reduced(self):
+        """VERDICT r2 item 4: monocular scale drift (1.25x over the loop)
+        injected into the keyframe chain must be reduced >5x by the Sim(3)
+        pose graph — SE(3) PGO structurally cannot absorb it (it has no
+        scale DOF; it smears the length mismatch into pose error)."""
+        n = 12
+        total_drift = 1.25
+        per_step = total_drift ** (1.0 / (n - 1))
+        gt, drifted = [], []
+        for i in range(n):
+            x = 0.12 * i if i < n // 2 else 0.12 * (n - 1 - i)
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = x
+            T[1, 3] = 0.05 * i
+            gt.append(T)
+        D = np.eye(4, dtype=np.float32)
+        drifted.append(gt[0].copy())
+        s = 1.0
+        for i in range(1, n):
+            rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+            s *= per_step          # accumulated monocular scale inflation
+            rel_d = rel.copy()
+            rel_d[:3, 3] *= s      # translations measured in the drifted scale
+            drifted.append((drifted[-1] @ rel_d).astype(np.float32))
+
+        def run(use_sim3):
+            lc = LoopCloser(
+                cam=CAM, config=LoopConfig(min_gap=4, use_sim3=use_sim3)
+            )
+            for i in range(n):
+                lc.history.append(_record(i, drifted[i]))
+                if i > 0:
+                    lc.odo_rel.append(
+                        np.linalg.inv(drifted[i - 1]) @ drifted[i]
+                    )
+            # Loop measurement in kf_0's gauge: true relative pose + the
+            # depth-ratio scale detect() would report — median(z_pred/z_cur)
+            # = 1/d for a map inflated by d (see LoopCloser.detect).
+            T_ij = np.linalg.inv(gt[0]) @ gt[-1]
+            lc.loop_edges.append(
+                LoopEdge(i=0, j=n - 1, T_ij=T_ij, num_inliers=50,
+                         scale=1.0 / total_drift)
+            )
+            corrected = lc.optimize()
+            assert corrected, "optimization rejected"
+            return corrected
+
+        err_before = np.linalg.norm(drifted[-1][:3, 3] - gt[-1][:3, 3])
+        corr = run(use_sim3=True)
+        err_after = np.linalg.norm(corr[n - 1][:3, 3] - gt[-1][:3, 3])
+        assert err_after < err_before / 5.0, (err_before, err_after)
+        # Interior nodes improve too (the drift is redistributed, not just
+        # the loop endpoints pinned).
+        mid = n // 2
+        err_mid_before = np.linalg.norm(drifted[mid][:3, 3] - gt[mid][:3, 3])
+        err_mid_after = np.linalg.norm(corr[mid][:3, 3] - gt[mid][:3, 3])
+        assert err_mid_after < err_mid_before, (
+            err_mid_before, err_mid_after
+        )
+
+
 class TestSystemLoopClosure:
     def test_out_and_back_detects_loop(self):
         calib = Calibration(raw=CAM, out_width=CAM.width, out_height=CAM.height)

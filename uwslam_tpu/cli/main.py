@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "intended) instead of feature reprojection BA")
     p.add_argument("--loop-closure", action="store_true",
                    help="loop detection + pose-graph correction")
+    p.add_argument("--dist-ba", action="store_true",
+                   help="end-of-run GLOBAL distributed bundle adjustment: "
+                        "landmarks partitioned over every available device "
+                        "(jax.sharding.Mesh), Schur pose blocks psum-reduced "
+                        "over ICI (BASELINE config 5); implies --features")
     p.add_argument("--mono-depth", type=float, default=1.0,
                    help="assumed scene depth for pure-mono tracking")
     p.add_argument("--depth-bootstrap", action="store_true",
@@ -95,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "only (no keyframes/BA/loop closure)")
     p.add_argument("--chunk", type=int, default=64,
                    help="frames per device batch in --offline mode")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force the jax platform (before backend init)")
+    p.add_argument("--host-devices", type=int, default=None,
+                   help="with --platform cpu: number of virtual host "
+                        "devices (XLA_FLAGS --xla_force_host_platform_"
+                        "device_count) — the multi-chip simulation target "
+                        "for --dist-ba without TPU pod hardware")
     return p
 
 
@@ -228,6 +240,20 @@ def run_offline(args, system, config, seq) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Platform override must land before the first jax op initializes the
+    # backend (XLA_FLAGS is read at backend init, not module import).
+    if args.host_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        ).strip()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     import numpy as np
 
     from .. import camera
@@ -255,9 +281,10 @@ def main(argv=None) -> int:
             affine_brightness=args.affine,
             depth_bootstrap=args.depth_bootstrap,
         ),
-        use_features=args.features or args.depth_bootstrap,
+        use_features=args.features or args.depth_bootstrap or args.dist_ba,
         use_ba=args.ba or args.photo_ba,
         use_loop_closure=args.loop_closure,
+        global_ba=args.dist_ba,
         profile=args.profile,
         trajectory_csv=args.trajectory_out,
     )
@@ -334,6 +361,30 @@ def main(argv=None) -> int:
     stack.close()  # flushes the profiler trace if one was started
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
+    if system.ba_stats["runs"]:
+        bs = system.ba_stats
+        print(
+            f"window BA: {bs['iters']} LM iters over {bs['runs']} runs in "
+            f"{bs['time']:.2f}s ({bs['iters'] / max(bs['time'], 1e-9):.1f} "
+            f"iters/s)",
+            file=sys.stderr,
+        )
+    if args.dist_ba:
+        stats = system.run_global_distributed_ba()
+        if stats is None:
+            print("dist BA: map too small, skipped", file=sys.stderr)
+        else:
+            print(
+                f"dist BA: {stats['keyframes']} kfs, "
+                f"{stats['landmarks']} landmarks, "
+                f"{stats['observations']} obs over {stats['devices']} "
+                f"devices: {stats['iterations']} iters in "
+                f"{stats['seconds']:.3f}s "
+                f"({stats['ba_iters_per_sec']:.1f} iters/s), cost "
+                f"{stats['initial_cost']:.3f} -> {stats['final_cost']:.3f}"
+                + ("" if stats["applied"] else " (not applied)"),
+                file=sys.stderr,
+            )
     if args.profile:
         print(system.timers.report(), file=sys.stderr)
     if args.map_out:

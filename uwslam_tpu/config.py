@@ -155,5 +155,10 @@ class SlamConfig:
     use_ba: bool = False                 # config-4+ windowed BA
     use_reloc: bool = True               # failure detection + relocalization
     use_loop_closure: bool = False       # loop detection + pose-graph correction
+    # Retain a lightweight record (pose + keypoints + descriptors) of EVERY
+    # keyframe — including ones evicted from the sliding window — so a global
+    # distributed bundle adjustment over the whole map can run at the end
+    # (BASELINE config 5: partitioned keyframe map + distributed BA).
+    global_ba: bool = False
     profile: bool = False                # per-stage timing (utils.profiling)
     trajectory_csv: str | None = None    # reference CSV dump equivalent

@@ -44,11 +44,22 @@ def _decode_image(path: str) -> np.ndarray:
 
 def list_images(directory: str, exts=(".png", ".jpg", ".jpeg", ".pgm")) -> list[str]:
     """Sorted image paths (the reference sorts raw dirent names and drops
-    . / .., src/System.cpp:322-341)."""
-    names = sorted(
+    . / .., src/System.cpp:322-341).
+
+    Sort is NUMERIC by timestamp stem when every name parses as a number,
+    lexicographic otherwise: TUM/EUROC stamp filenames are fixed-width so
+    both orders agree there, but variable-width numeric names (e.g.
+    "99.png" vs "100.png") would scramble the frame order under a plain
+    string sort — an out-of-order pair is a teleport the tracker cannot
+    absorb."""
+    names = [
         n for n in os.listdir(directory)
         if os.path.splitext(n)[1].lower() in exts
-    )
+    ]
+    try:
+        names.sort(key=lambda n: float(os.path.splitext(n)[0]))
+    except ValueError:
+        names.sort()
     paths = [os.path.join(directory, n) for n in names]
     if len(paths) < MIN_IMAGES:
         raise ValueError(

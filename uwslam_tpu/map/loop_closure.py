@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ba.pose_graph import PoseGraph, optimize_pose_graph
-from ..lie import se3
+from ..ba.pose_graph import (
+    PoseGraph,
+    Sim3PoseGraph,
+    optimize_pose_graph,
+    optimize_pose_graph_sim3,
+)
+from ..lie import se3, sim3
 
 
 class KeyframeRecord(NamedTuple):
@@ -42,6 +47,11 @@ class LoopEdge(NamedTuple):
     j: int          # history index of the newer keyframe
     T_ij: np.ndarray  # kf_i <- kf_j relative pose
     num_inliers: int
+    # Relative monocular scale of kf_j's local map vs kf_i's gauge (the
+    # median PnP-inlier depth ratio): >1 means j's map depths are inflated.
+    # The Sim(3) pose graph absorbs exactly this drift — the capability the
+    # reference's uw::Sim3 typedef (include/Options.h:130) intended.
+    scale: float = 1.0
 
 
 @dataclass
@@ -55,6 +65,10 @@ class LoopConfig:
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
     max_pgo_iters: int = 30
+    # Optimize the pose graph over Sim(3) (scale on loop edges estimated
+    # from the PnP-inlier depth ratio) so accumulated monocular scale drift
+    # is absorbed at closure; False falls back to SE(3) PGO.
+    use_sim3: bool = True
 
 
 def _bucket(n: int, size: int) -> int:
@@ -131,8 +145,36 @@ class LoopCloser:
             # res.T: cur camera <- cand camera  =>  T_ij (cand <- cur, world
             # chain convention of pose_graph: T_ij = T_i^-1 T_j).
             T_ij = np.linalg.inv(np.asarray(res.T, np.float32))
+            # Relative monocular scale from the PnP-inlier depth ratio:
+            # transform cand's 3D points (cand's scale gauge) into the cur
+            # camera and compare against cur's OWN stored depths at the
+            # matched keypoints — their median ratio is how much cur's map
+            # scale drifted relative to cand's.
+            scale = 1.0
+            if cfg.use_sim3:
+                p_pred = np.asarray(
+                    se3.apply(res.T, cand.kp_p3d[m.idx_a])
+                )
+                z_pred = p_pred[:, 2]
+                z_cur = np.asarray(cur.kp_p3d)[np.asarray(m.idx_b)][:, 2]
+                ok = (
+                    np.asarray(m.valid & res.inliers)
+                    & (z_pred > 1e-6) & (z_cur > 1e-6)
+                )
+                if ok.sum() >= 8:
+                    # z_pred is metric in cand's gauge; z_cur carries cur's
+                    # drift d => median(z_pred/z_cur) = 1/d, which is exactly
+                    # the edge's Sim(3) scale component: the residual
+                    # log(S_ij^-1 S_i^-1 S_j) drives s_j/s_i toward it, and
+                    # a node scale of 1/d deflates j's inflated map
+                    # (verified both ways in TestSim3ScaleDriftCorrection:
+                    # carrying d instead leaves 10x more endpoint error).
+                    s = float(np.median(z_pred[ok] / z_cur[ok]))
+                    if np.isfinite(s) and 0.2 < s < 5.0:
+                        scale = s
             edge = LoopEdge(
-                i=int(n), j=j, T_ij=T_ij, num_inliers=int(res.num_inliers)
+                i=int(n), j=j, T_ij=T_ij,
+                num_inliers=int(res.num_inliers), scale=scale,
             )
             self.loop_edges.append(edge)
             return edge
@@ -159,7 +201,12 @@ class LoopCloser:
     def optimize(self) -> dict[int, np.ndarray]:
         """Pose-graph LM over the whole keyframe history; returns
         {frame_id: corrected T_wc}. Buffers are bucket-padded so repeated
-        closures reuse the compiled program."""
+        closures reuse the compiled program.
+
+        config.use_sim3 (default): nodes are Sim(3) and loop edges carry the
+        PnP depth-ratio scale, so accumulated monocular scale drift is
+        absorbed at closure (keyframe 3D points are rescaled by the solved
+        per-node scales); otherwise SE(3)."""
         cfg = self.config
         M = len(self.history)
         E = (M - 1) + len(self.loop_edges)
@@ -183,30 +230,74 @@ class LoopCloser:
             p = (M - 1) + k
             ei[p], ej[p] = e.i, e.j
             Tij[p] = e.T_ij
+            if cfg.use_sim3 and e.scale != 1.0:
+                # Measured relative Sim(3) i <- j: rotation/translation from
+                # PnP (metric in kf_i's gauge), scale = drift of j's map
+                # relative to i's (s_j / s_i at convergence).
+                Tij[p] = np.asarray(
+                    sim3.from_rst(
+                        jnp.asarray(e.T_ij[:3, :3]),
+                        jnp.asarray(np.float32(e.scale)),
+                        jnp.asarray(e.T_ij[:3, 3]),
+                    )
+                )
             w[p] = cfg.loop_weight
             valid[p] = True
 
-        graph = PoseGraph(
-            T_wc=jnp.asarray(T),
-            edge_i=jnp.asarray(ei),
-            edge_j=jnp.asarray(ej),
-            T_ij=jnp.asarray(Tij),
-            weight=jnp.asarray(w),
-            valid=jnp.asarray(valid),
-        )
-        out = optimize_pose_graph(graph, max_iters=cfg.max_pgo_iters)
+        if cfg.use_sim3:
+            graph = Sim3PoseGraph(
+                S_wc=jnp.asarray(T),
+                edge_i=jnp.asarray(ei),
+                edge_j=jnp.asarray(ej),
+                S_ij=jnp.asarray(Tij),
+                weight=jnp.asarray(w),
+                valid=jnp.asarray(valid),
+            )
+            out = optimize_pose_graph_sim3(graph, max_iters=cfg.max_pgo_iters)
+        else:
+            graph = PoseGraph(
+                T_wc=jnp.asarray(T),
+                edge_i=jnp.asarray(ei),
+                edge_j=jnp.asarray(ej),
+                T_ij=jnp.asarray(Tij),
+                weight=jnp.asarray(w),
+                valid=jnp.asarray(valid),
+            )
+            out = optimize_pose_graph(graph, max_iters=cfg.max_pgo_iters)
         if not bool(jnp.isfinite(out.cost)) or float(out.cost) > float(
             out.initial_cost
         ):
             return {}
-        T_new = np.asarray(out.T_wc)
+        S_new = np.asarray(out.T_wc)
         corrected = {}
+        T_new = np.zeros((M, 4, 4), np.float32)
         for k, r in enumerate(self.history):
-            self.history[k] = r._replace(T_wc=T_new[k])
-            corrected[r.frame_id] = T_new[k]
+            if cfg.use_sim3:
+                s_k = float(np.asarray(sim3.scale(jnp.asarray(S_new[k]))))
+                Tk = np.eye(4, dtype=np.float32)
+                Tk[:3, :3] = S_new[k][:3, :3] / s_k
+                Tk[:3, 3] = S_new[k][:3, 3]
+                # Node scale s_k ~ 1/d where d is this keyframe's map
+                # inflation vs the anchor gauge; multiplying the stored
+                # camera-frame structure by s_k deflates it back to metric
+                # so future PnP relocalization/loop verification agrees.
+                kp = r.kp_p3d * s_k if abs(s_k - 1.0) > 1e-4 else r.kp_p3d
+            else:
+                Tk = S_new[k]
+                kp = r.kp_p3d
+            T_new[k] = Tk
+            self.history[k] = r._replace(T_wc=Tk, kp_p3d=kp)
+            corrected[r.frame_id] = Tk
         # Refresh stored odometry to the corrected chain so future
         # optimizations start consistent.
         self.odo_rel = [
             np.linalg.inv(T_new[k]) @ T_new[k + 1] for k in range(M - 1)
         ]
+        if cfg.use_sim3:
+            # The solved per-node scales were folded into poses + map points;
+            # nodes re-enter future optimizations at scale 1, so edge scales
+            # must be re-gauged too or the same drift would be re-applied.
+            self.loop_edges = [
+                e._replace(scale=1.0) for e in self.loop_edges
+            ]
         return corrected
