@@ -165,5 +165,104 @@ class TestSystemLoopClosure:
         assert err < 0.15, f"final pose error {err}"
 
 
+class TestVladRetrieval:
+    """VERDICT r1 weak #5: mean-pooled retrieval collides scenes that share
+    texture statistics. This builds a false-positive-rich world — every
+    scene's descriptor cloud shares one dominant direction (same 'texture
+    statistics'), differing only in fine structure — and measures recall@1
+    of revisit retrieval for VLAD vs mean pooling."""
+
+    N_SCENES = 8
+    N_DESC = 160          # descriptors per keyframe
+    D = 32
+
+    def _scene_descs(self, rng, scene_basis, noise=0.08, keep=0.75):
+        """One visit to a scene: its landmark directions with sampling noise
+        and viewpoint dropout (each visit sees a different random subset)."""
+        mask = rng.random(scene_basis.shape[0]) < keep
+        d = scene_basis[mask] + noise * rng.standard_normal(
+            (int(mask.sum()), self.D)
+        )
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        return d.astype(np.float32)
+
+    def _build(self, use_vlad: bool):
+        rng = np.random.default_rng(42)
+        common = rng.standard_normal(self.D)
+        common /= np.linalg.norm(common)
+        bases = []
+        for _ in range(self.N_SCENES):
+            # Landmark directions in +/- pairs: every scene's descriptor
+            # MEAN is exactly the common direction — by construction the
+            # mean-pooled signature carries ZERO scene identity; only the
+            # per-descriptor fine structure (what VLAD aggregates)
+            # distinguishes scenes.
+            w = rng.standard_normal((self.N_DESC // 2, self.D))
+            w /= np.linalg.norm(w, axis=1, keepdims=True)
+            u = np.concatenate([w, -w], axis=0)
+            b = 0.5 * common[None] + 0.8 * u
+            bases.append(b / np.linalg.norm(b, axis=1, keepdims=True))
+        lc = LoopCloser(
+            cam=CAM,
+            config=LoopConfig(
+                use_vlad=use_vlad, vocab_size=16,
+                vocab_min_desc=self.N_SCENES * self.N_DESC // 2,
+            ),
+        )
+        fid = 0
+        for visit in range(2):
+            for s in range(self.N_SCENES):
+                desc = self._scene_descs(rng, bases[s])
+                n = desc.shape[0]
+                rec = KeyframeRecord(
+                    frame_id=fid,
+                    T_wc=np.eye(4, dtype=np.float32),
+                    kp_uv=jnp.zeros((n, 2)),
+                    kp_desc=jnp.asarray(desc),
+                    kp_valid=jnp.ones(n, bool),
+                    kp_p3d=jnp.zeros((n, 3)),
+                    global_desc=np.zeros(1, np.float32),  # overwritten below
+                )
+                # Route through add_keyframe's signature path without the
+                # SlamSystem: recompute the signature the way it does.
+                rec = rec._replace(
+                    global_desc=lc._global_desc(desc, np.ones(n, bool))
+                )
+                lc.history.append(rec)
+                lc._maybe_train_vocab()
+                fid += 1
+        return lc
+
+    def _recall_at_1(self, lc) -> float:
+        n = self.N_SCENES
+        hits = 0
+        for q in range(n, 2 * n):          # second-visit keyframes
+            G = np.stack([r.global_desc for r in lc.history[:n]])
+            sims = G @ lc.history[q].global_desc
+            hits += int(np.argmax(sims) == q - n)
+        return hits / n
+
+    def test_vlad_beats_mean_pooling_on_colliding_scenes(self):
+        lc_vlad = self._build(use_vlad=True)
+        assert lc_vlad.vocab is not None, "vocabulary never trained"
+        # History must have been re-signed into VLAD space.
+        K, D = lc_vlad.vocab.shape
+        assert lc_vlad.history[0].global_desc.shape == (K * D,)
+        r_vlad = self._recall_at_1(lc_vlad)
+        r_mean = self._recall_at_1(self._build(use_vlad=False))
+        # Mean pooling collapses onto the shared direction (near-chance);
+        # VLAD keeps the fine structure.
+        assert r_vlad >= 0.9, f"VLAD recall@1 {r_vlad}"
+        assert r_vlad > r_mean + 0.3, (r_vlad, r_mean)
+
+    def test_true_revisit_passes_vlad_gate(self):
+        """The retrieval gate must admit true revisits in VLAD space."""
+        lc = self._build(use_vlad=True)
+        n = self.N_SCENES
+        G = np.stack([r.global_desc for r in lc.history[:n]])
+        sims = G @ lc.history[n].global_desc   # scene 0 revisit
+        assert float(np.max(sims)) > LoopConfig().min_similarity_vlad
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

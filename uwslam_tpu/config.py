@@ -141,6 +141,12 @@ class LoopClosureConfig:
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
     max_pgo_iters: int = 30
+    # VLAD retrieval (map.loop_closure): vocabulary size, descriptors needed
+    # before training, and the (lower) cosine gate for VLAD signatures.
+    vocab_size: int = 16
+    vocab_min_desc: int = 1024
+    min_similarity_vlad: float = 0.25
+    use_vlad: bool = True
 
 
 @dataclass(frozen=True)

@@ -6,8 +6,13 @@ SURVEY.md §5). This module supplies it TPU-first:
 
 - every keyframe leaves a lightweight record (pose, keypoints, descriptors,
   camera-frame 3D) — pyramids are NOT retained, so history is cheap;
-- candidate retrieval is a single matmul against mean-pooled keyframe
-  descriptors (a bag-of-words stand-in that is one MXU op);
+- candidate retrieval is a single matmul against VLAD global descriptors
+  (k-means vocabulary over the session's own keypoint descriptors, residual
+  aggregation per visual word, intra+global L2 normalization) — far more
+  discriminative than mean pooling (two rooms with similar texture
+  statistics no longer collide) while retrieval stays one MXU op;
+  mean-pooling remains the cold-start fallback until enough descriptors
+  accumulate to train the vocabulary;
 - verification is descriptor matching + PnP RANSAC (features.pnp), giving a
   metric relative-pose constraint;
 - accepted loops trigger pose-graph LM (ba.pose_graph) over the whole
@@ -58,7 +63,16 @@ class LoopEdge(NamedTuple):
 class LoopConfig:
     min_gap: int = 8              # keyframes between i and j to count as loop
     max_candidates: int = 3       # PnP-verified per new keyframe
-    min_similarity: float = 0.70  # global-descriptor cosine gate
+    min_similarity: float = 0.70  # mean-pool cosine gate (cold start)
+    # VLAD retrieval: visual-word count and how many descriptors must
+    # accumulate before the vocabulary is trained (mean-pooling until then).
+    # VLAD signatures are residual-based and much sparser in angle than
+    # mean-pooled ones — true revisits land far lower on the cosine scale,
+    # so the gate is separate.
+    vocab_size: int = 16
+    vocab_min_desc: int = 1024
+    min_similarity_vlad: float = 0.25
+    use_vlad: bool = True
     min_matches: int = 25
     pnp_threshold_px: float = 3.0
     pnp_min_inliers: int = 20
@@ -75,6 +89,54 @@ def _bucket(n: int, size: int) -> int:
     return max(size, ((n + size - 1) // size) * size)
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 12, seed: int = 0) -> np.ndarray:
+    """Plain Lloyd's with k-means++ seeding — the vocabulary trainer.
+
+    Runs on host numpy: it fires ONCE per session over a few thousand
+    D-dim descriptors (milliseconds), far off the per-frame hot path."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    # k-means++ init.
+    centers = [X[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((X[:, None, :] - np.stack(centers)[None]) ** 2).sum(-1), axis=1
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        centers.append(X[rng.choice(n, p=p)])
+    C = np.stack(centers)
+    for _ in range(iters):
+        assign = np.argmin(
+            ((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1
+        )
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C.astype(np.float32)
+
+
+def _vlad(desc: np.ndarray, vocab: np.ndarray) -> np.ndarray:
+    """VLAD aggregation: per-word residual sums, intra-normalized per word
+    (power-law burstiness suppression) then globally L2-normalized.
+
+    desc (N, D) valid descriptors; vocab (K, D). Returns (K*D,)."""
+    K, D = vocab.shape
+    if desc.shape[0] == 0:
+        return np.zeros(K * D, np.float32)
+    assign = np.argmin(
+        ((desc[:, None, :] - vocab[None]) ** 2).sum(-1), axis=1
+    )
+    V = np.zeros((K, D), np.float32)
+    np.add.at(V, assign, desc - vocab[assign])
+    # Intra-normalization (per visual word) kills burstiness: one dominant
+    # texture can't swamp the signature.
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    V = V / np.maximum(norms, 1e-9)
+    v = V.reshape(-1)
+    return (v / max(float(np.linalg.norm(v)), 1e-9)).astype(np.float32)
+
+
 @dataclass
 class LoopCloser:
     """Keyframe history + loop detection + pose-graph optimization."""
@@ -84,14 +146,49 @@ class LoopCloser:
     history: list = field(default_factory=list)       # [KeyframeRecord]
     odo_rel: list = field(default_factory=list)       # [np (4,4)] i -> i+1
     loop_edges: list = field(default_factory=list)    # [LoopEdge]
+    vocab: np.ndarray | None = None                   # (K, D) visual words
+
+    def _global_desc(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """VLAD signature once the vocabulary exists; mean-pool before."""
+        d = desc[valid]
+        if self.vocab is not None:
+            return _vlad(d, self.vocab)
+        g = d.mean(axis=0) if d.shape[0] else np.zeros(desc.shape[1])
+        return (g / max(float(np.linalg.norm(g)), 1e-9)).astype(np.float32)
+
+    def _maybe_train_vocab(self) -> None:
+        """Train the k-means vocabulary from the session's own descriptors
+        once enough have accumulated, then re-sign the whole history so all
+        global descriptors live in the same (K*D) space."""
+        cfg = self.config
+        if self.vocab is not None or not cfg.use_vlad:
+            return
+        pools = [
+            np.asarray(r.kp_desc, np.float32)[np.asarray(r.kp_valid)]
+            for r in self.history
+        ]
+        total = sum(p.shape[0] for p in pools)
+        if total < cfg.vocab_min_desc:
+            return
+        X = np.concatenate(pools, axis=0)
+        # Cap the training set: k-means over ~4k points is plenty for K<=64.
+        if X.shape[0] > 4096:
+            sel = np.random.default_rng(0).choice(X.shape[0], 4096, False)
+            X = X[sel]
+        self.vocab = _kmeans(X, cfg.vocab_size)
+        for k, r in enumerate(self.history):
+            self.history[k] = r._replace(
+                global_desc=self._global_desc(
+                    np.asarray(r.kp_desc, np.float32), np.asarray(r.kp_valid)
+                )
+            )
 
     def add_keyframe(self, kf) -> None:
         """Record a keyframe (call after SlamSystem inserts it). kf must carry
         kp_desc/kp_valid/kp_p3d (features are attached by _make_keyframe)."""
         desc = np.asarray(kf.kp_desc, np.float32)
         valid = np.asarray(kf.kp_valid)
-        g = desc[valid].mean(axis=0) if valid.any() else np.zeros(desc.shape[1])
-        g = g / max(float(np.linalg.norm(g)), 1e-9)
+        g = self._global_desc(desc, valid)
         rec = KeyframeRecord(
             frame_id=kf.frame_id,
             T_wc=np.asarray(kf.T_wc, np.float32),
@@ -107,6 +204,7 @@ class LoopCloser:
                 np.linalg.inv(T_prev) @ rec.T_wc  # prev <- new (world chain)
             )
         self.history.append(rec)
+        self._maybe_train_vocab()
 
     # ------------------------------------------------------------- detection
 
@@ -125,8 +223,12 @@ class LoopCloser:
         sims = G @ cur.global_desc                        # (N,)
         order = np.argsort(-sims)[: cfg.max_candidates]
         key = key if key is not None else jax.random.PRNGKey(j)
+        gate = (
+            cfg.min_similarity_vlad if self.vocab is not None
+            else cfg.min_similarity
+        )
         for n in order:
-            if sims[n] < cfg.min_similarity:
+            if sims[n] < gate:
                 break
             cand = past[int(n)]
             m = match_descriptors(
