@@ -56,5 +56,75 @@ class TestPallasSample:
         np.testing.assert_array_equal(np.asarray(v), np.asarray(vref))
 
 
+class TestPallasWarpSample:
+    """Parity of the fused warp+project+sample kernel (ops.pallas_track)
+    against the unfused XLA reference: warp in jnp, then one-hot sampling.
+    Interpreter mode — covers the kernel math on CPU CI."""
+
+    def _reference(self, images, p3d, T, cam):
+        from uwslam_tpu.lie import se3
+
+        p_t = se3.apply(T, p3d)
+        uv = cam.project(p_t)
+        vals, in_img = bilinear_sample_dense(images, uv)
+        ok = in_img & (p_t[..., 2] > 1e-3)
+        return jnp.where(ok[None, :], vals, 0.0), ok
+
+    def test_matches_unfused_path(self):
+        from uwslam_tpu.camera import PinholeCamera
+        from uwslam_tpu.lie import se3
+        from uwslam_tpu.ops.pallas_track import warp_and_sample
+
+        cam = PinholeCamera(
+            fx=120.0, fy=120.0, cx=63.5, cy=31.5, width=128, height=64
+        )
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        images = jax.random.uniform(k1, (3, 64, 128), minval=0, maxval=255)
+        uv = jnp.stack(
+            [
+                jax.random.uniform(k2, (512,), minval=2.0, maxval=125.0),
+                jax.random.uniform(k3, (512,), minval=2.0, maxval=61.0),
+            ],
+            axis=1,
+        )
+        # Mixed depths; some points land outside after the warp, a few
+        # behind the camera to exercise the validity contract.
+        z = jnp.linspace(0.5, 4.0, 512)
+        z = z.at[::97].set(-0.2)
+        p3d = cam.unproject(uv, z)
+        T = se3.exp(
+            jnp.asarray([0.05, -0.02, 0.03, 0.02, -0.01, 0.015])
+        )
+        ref, vref = self._reference(images, p3d, T, cam)
+        out, v = warp_and_sample(images, p3d, T, cam, interpret=True)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vref))
+        # bf16 stage-1 matmul: tolerance scales with the 255 image range.
+        np.testing.assert_allclose(out, ref, atol=1.5)
+
+    def test_pad_path_masks_dummy_points(self):
+        """N not a tile multiple: padded dummy points must not leak."""
+        from uwslam_tpu.camera import PinholeCamera
+        from uwslam_tpu.lie import se3
+        from uwslam_tpu.ops.pallas_track import warp_and_sample
+
+        cam = PinholeCamera(
+            fx=100.0, fy=100.0, cx=63.5, cy=31.5, width=128, height=64
+        )
+        key = jax.random.PRNGKey(4)
+        images = jax.random.uniform(key, (1, 64, 128), minval=0, maxval=255)
+        uv = jnp.stack(
+            [jnp.linspace(5.0, 120.0, 300), jnp.linspace(5.0, 58.0, 300)],
+            axis=1,
+        )
+        p3d = cam.unproject(uv, jnp.full((300,), 2.0))
+        T = jnp.eye(4)
+        ref, vref = self._reference(images, p3d, T, cam)
+        out, v = warp_and_sample(images, p3d, T, cam, interpret=True)
+        assert out.shape == (1, 300)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vref))
+        np.testing.assert_allclose(out, ref, atol=1.5)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -66,11 +66,15 @@ def _kernel(T_ref, p3d_ref, img_ref, out_ref, *, C, W, fx, fy, cx, cy):
     v0 = jnp.floor(v)
     du = (u - u0)[:, None]
     dv = (v - v0)[:, None]
+    u0i = u0.astype(jnp.int32)[:, None]
+    v0i = v0.astype(jnp.int32)[:, None]
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (1, H), 1)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    # Mosaic iota must be integer-typed; the equality masks select the two
+    # bilinear taps and the float weights are applied by multiplication.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     # Row interpolation as a one-hot matmul (MXU, bf16 x bf16 -> f32):
-    Wv = (rows == v0[:, None]) * (1.0 - dv) + (rows == v0[:, None] + 1.0) * dv
+    Wv = (rows == v0i) * (1.0 - dv) + (rows == v0i + 1) * dv
     S = jax.lax.dot_general(
         Wv.astype(jnp.bfloat16),
         img_ref[:],
@@ -78,13 +82,16 @@ def _kernel(T_ref, p3d_ref, img_ref, out_ref, *, C, W, fx, fy, cx, cy):
         preferred_element_type=jnp.float32,
     )                                                # (TN, C*W) f32
     # Column interpolation on the VPU, entirely in VMEM:
-    Wu = (cols == u0[:, None]) * (1.0 - du) + (cols == u0[:, None] + 1.0) * du
+    Wu = (cols == u0i) * (1.0 - du) + (cols == u0i + 1) * du
     for c in range(C):
         out_ref[c, :] = jnp.sum(S[:, c * W:(c + 1) * W] * Wu, axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "H", "W", "fx", "fy", "cx", "cy", "tile_n")
+    jax.jit,
+    static_argnames=(
+        "C", "H", "W", "fx", "fy", "cx", "cy", "tile_n", "interpret",
+    ),
 )
 def _warp_sample_padded(
     images_hcw: jax.Array,   # (H, C*W) bf16
@@ -93,6 +100,7 @@ def _warp_sample_padded(
     C: int, H: int, W: int,
     fx: float, fy: float, cx: float, cy: float,
     tile_n: int,
+    interpret: bool = False,
 ):
     N = p3d.shape[0]
     grid = (N // tile_n,)
@@ -109,7 +117,17 @@ def _warp_sample_padded(
         out_specs=pl.BlockSpec((C, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, N), jnp.float32),
+        interpret=interpret,
     )(T, p3d, images_hcw)
+
+
+# Images whose folded (H, C*W) bf16 stack would crowd VMEM (shared with the
+# one-hot tap matrices and the stage-1 output) fall back to the XLA path.
+VMEM_IMAGE_BYTES_MAX = 10 * 2**20
+
+
+def fits_vmem(C: int, H: int, W: int) -> bool:
+    return C * H * W * 2 <= VMEM_IMAGE_BYTES_MAX
 
 
 def warp_and_sample(
@@ -118,25 +136,29 @@ def warp_and_sample(
     T: jax.Array,            # (4, 4) f32 pose (target <- reference)
     cam,                     # PinholeCamera (static)
     tile_n: int = TILE_N,
+    interpret: bool = False,
 ):
     """Fused warp+project+bilinear-sample of C channels at the warped points.
 
     Returns ((C, N) f32 samples zeroed where invalid, (N,) bool validity:
     in front of the camera AND inside the bilinear window) — the same
     contract as projecting outside and calling bilinear_sample_dense, in one
-    VMEM-resident kernel."""
+    VMEM-resident kernel. N is padded up to a tile multiple internally
+    (dummy points sit behind the camera and come back masked)."""
     C, H, W = images.shape
     N = p3d.shape[0]
     img_hcw = jnp.transpose(images, (1, 0, 2)).reshape(H, C * W)
     img_hcw = img_hcw.astype(jnp.bfloat16)
-    tile = tile_n
-    while N % tile:
-        tile //= 2
+    tile = min(tile_n, 1 << max(7, (N - 1).bit_length()))
+    pad = (-N) % tile
+    p3d_k = jnp.pad(p3d, ((0, pad), (0, 0))) if pad else p3d
     out = _warp_sample_padded(
-        img_hcw, p3d, T, C, H, W,
+        img_hcw, p3d_k, T, C, H, W,
         float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-        tile,
+        tile, interpret,
     )
+    if pad:
+        out = out[:, :N]
     # Validity (elementwise, fuses into downstream residual math).
     from ..lie import se3
 
