@@ -1,5 +1,5 @@
 # Developer entry points. `make test` mirrors the CI/driver invocation.
-.PHONY: test test-fast bench native install
+.PHONY: test test-fast bench micro scaling eval native install
 
 test:
 	python -m pytest tests/ -q
@@ -9,6 +9,18 @@ test-fast:
 
 bench:
 	python bench.py
+
+# Per-kernel device-time receipts (TPU) -> MICRO_r03.json
+micro:
+	python benchmarks/micro.py --out MICRO_r03.json
+
+# Dist-BA scaling curve on the 8-virtual-device CPU mesh -> SCALING_r03.json
+scaling:
+	python benchmarks/scaling.py --out SCALING_r03.json
+
+# Full staged evaluation (BASELINE configs 0-7) -> RESULTS_r03.json + RESULTS.md
+eval:
+	python eval.py --round 3
 
 native:
 	$(MAKE) -C native

@@ -165,6 +165,40 @@ def main():
             65536 * 6 * 4 * 2, None, "geometry backbone, batched",
         ),
     ]
+
+    # Fused-Pallas vs two-einsum XLA warp+sample at the TUM design point —
+    # the durable receipt for the measured-negative default
+    # (tracking/photometric.py _use_pallas_fused: the XLA path won 2.5x
+    # end-to-end; this records the isolated-kernel numbers per JAX version).
+    if jax.default_backend() == "tpu":
+        from uwslam_tpu.ops.pallas_track import fits_vmem, warp_and_sample
+        from uwslam_tpu.tracking.photometric import _warp_sample
+
+        if fits_vmem(3, H, W):
+            p3d = cam.unproject(uv[0], jnp.full((N_PTS,), 2.0))
+            T = se3.exp(
+                jnp.asarray([0.01, 0.0, 0.0, 0.0, 0.004, 0.0], jnp.float32)
+            )
+            st3 = stacked3[0]
+            flops = 2 * 3 * N_PTS * H * W
+            cases += [
+                (
+                    "warp_sample_xla_c3(n2048)",
+                    jax.jit(lambda s, p, t: _warp_sample(s, p, t, cam)),
+                    (st3, p3d, T),
+                    None, flops,
+                    "two-einsum XLA path (the measured default)",
+                ),
+                (
+                    "warp_sample_pallas_fused_c3(n2048)",
+                    jax.jit(lambda s, p, t: warp_and_sample(s, p, t, cam)),
+                    (st3, p3d, T),
+                    None, flops,
+                    "fused Pallas kernel (UWSLAM_PALLAS_FUSED opt-in)",
+                ),
+            ]
+
+    records = []
     for name, fn, args, wb, wf, note in cases:
         s = device_time_s(fn, args)
         rec = {"kernel": name, "us_per_op": round(s * 1e6, 1)}
@@ -179,6 +213,18 @@ def main():
         if note:
             rec["note"] = note
         print(json.dumps(rec))
+        records.append(rec)
+
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        payload = {
+            "device": str(jax.devices()[0]),
+            "jax": jax.__version__,
+            "kernels": records,
+        }
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -85,25 +85,33 @@ def _scene(kind: str):
     raise ValueError(kind)
 
 
-def _trajectory(n: int, scale: float = 1.0):
+def _trajectory(n: int, scale: float = 1.0, loop_period: int | None = None):
     """Smooth parallax-rich camera path (translation + rotation), bounded so
     the scene stays in view; adjacent-frame motion ~2-4 px at the TUM design
-    point. Returns list of (4,4) T_cam_world."""
+    point. Returns list of (4,4) T_cam_world.
+
+    loop_period: if set, every sinusoid's frequency is an integer multiple
+    of 2*pi/loop_period, so pose(i + loop_period) == pose(i) EXACTLY — the
+    camera genuinely revisits earlier viewpoints (the loop-closure eval needs
+    a true revisit, not the quasi-periodic near-miss of the default path)."""
+    import math
+
     import jax.numpy as jnp
 
     from uwslam_tpu.lie import se3
 
+    if loop_period is not None:
+        w0 = 2.0 * math.pi / loop_period
+        freqs = (w0, w0, w0, w0, 2 * w0, w0)
+    else:
+        freqs = (0.045, 0.032, 0.026, 0.040, 0.033, 0.050)
+    amps = (0.30 * scale, 0.12 * scale, 0.10 * scale, 0.030, 0.045, 0.020)
+    phases = (0.0, 0.7, 1.9, 0.3, 2.1, 1.1)
     poses = []
     for i in range(n):
         xi = jnp.asarray(
-            [
-                scale * (0.30 * jnp.sin(0.045 * i)),
-                scale * (0.12 * jnp.sin(0.032 * i + 0.7)),
-                scale * (0.10 * jnp.sin(0.026 * i + 1.9)),
-                0.030 * jnp.sin(0.040 * i + 0.3),
-                0.045 * jnp.sin(0.033 * i + 2.1),
-                0.020 * jnp.sin(0.050 * i + 1.1),
-            ],
+            [a * jnp.sin(f * i + p) - a * jnp.sin(p)
+             for a, f, p in zip(amps, freqs, phases)],
             jnp.float32,
         )
         poses.append(se3.exp(xi))
@@ -137,7 +145,8 @@ def _save_gray_png(path, arr):
 
 
 def make_tum_dataset(root: str, n_frames: int, seed: int = 0,
-                     noise_sigma: float = 1.5) -> dict:
+                     noise_sigma: float = 1.5,
+                     loop_period: int | None = None) -> dict:
     """TUM-format: 640x480 fx=fy=525 (reference calibrationTUM.xml:7-21),
     rgb/<ts>.png at 30 Hz + groundtruth.txt + calib XML."""
     import jax
@@ -156,7 +165,7 @@ def make_tum_dataset(root: str, n_frames: int, seed: int = 0,
     cam = PinholeCamera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
                         width=640, height=480)
     scene = _scene("tum")
-    poses = _trajectory(n_frames)
+    poses = _trajectory(n_frames, loop_period=loop_period)
     render = jax.jit(lambda T: render_scene_view(cam, T, scene))
     rows = []
     for i, T_cw in enumerate(poses):
@@ -254,14 +263,20 @@ def make_euroc_dataset(root: str, n_frames: int, kind: str = "euroc_mh",
 
 ATE_RE = re.compile(r"ATE RMSE \(Sim3-aligned\): ([0-9.naife+-]+) m over (\d+)")
 FPS_RE = re.compile(r"tracked (\d+) frames in ([0-9.]+)s \(([0-9.]+) fps")
+WARM_RE = re.compile(
+    r"steady state: (\d+) frames in ([0-9.]+)s \(([0-9.]+) fps warm"
+)
 WBA_RE = re.compile(
     r"window BA: (\d+) LM iters over (\d+) runs in ([0-9.]+)s "
     r"\(([0-9.]+) iters/s\)"
 )
 DBA_RE = re.compile(
     r"dist BA: (\d+) kfs, (\d+) landmarks, (\d+) obs over (\d+) devices: "
-    r"(\d+) iters in ([0-9.]+)s \(([0-9.]+) iters/s\)"
+    r"(\d+) iters in ([0-9.]+)s \(([0-9.]+) iters/s\), cost "
+    r"([0-9.eE+-]+) -> ([0-9.eE+-]+)( \(not applied\))?"
 )
+DBA_SKIP_RE = re.compile(r"dist BA: map too small, skipped")
+LOOP_RE = re.compile(r"loop closure: (\d+) edges accepted")
 
 
 def run_cli(cli_args: list[str], timeout: int = 3600) -> dict:
@@ -286,10 +301,19 @@ def run_cli(cli_args: list[str], timeout: int = 3600) -> dict:
     if m:
         res["frames"] = int(m.group(1))
         res["fps"] = float(m.group(3))
+    m = WARM_RE.search(out)
+    if m:
+        res["fps_warm"] = float(m.group(3))
+        res["warm_frames"] = int(m.group(1))
     m = WBA_RE.search(out)
     if m:
         res["window_ba_iters"] = int(m.group(1))
         res["window_ba_iters_per_sec"] = float(m.group(4))
+    m = LOOP_RE.search(out)
+    if m:
+        res["loop_edges"] = int(m.group(1))
+    if DBA_SKIP_RE.search(out):
+        res["dist_ba_skipped"] = True
     m = DBA_RE.search(out)
     if m:
         res["dist_ba_keyframes"] = int(m.group(1))
@@ -297,16 +321,19 @@ def run_cli(cli_args: list[str], timeout: int = 3600) -> dict:
         res["dist_ba_obs"] = int(m.group(3))
         res["dist_ba_devices"] = int(m.group(4))
         res["dist_ba_iters_per_sec"] = float(m.group(7))
+        res["dist_ba_cost_initial"] = float(m.group(8))
+        res["dist_ba_cost_final"] = float(m.group(9))
+        res["dist_ba_applied"] = m.group(10) is None
     return res
 
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--round", type=int, default=2,
+    ap.add_argument("--round", type=int, default=3,
                     help="round number for the RESULTS_r<N>.json filename")
     ap.add_argument("--quick", action="store_true",
                     help="shorter sequences (smoke-test the harness)")
-    ap.add_argument("--configs", default="1,2,3,4,5",
+    ap.add_argument("--configs", default="0,1,2,3,4,5,6,7",
                     help="comma-separated subset to run")
     args = ap.parse_args()
     which = {int(c) for c in args.configs.split(",")}
@@ -314,21 +341,48 @@ def main() -> int:
     n_tum = 60 if args.quick else 150
     n_euroc = 50 if args.quick else 120
     n_long = 80 if args.quick else 240
+    # The long sequence retraces its first loop_period frames exactly
+    # (frames loop_period..n revisit 0..n-loop_period) — a true revisit for
+    # the loop-closure stage.
+    loop_period = 56 if args.quick else 160
 
     print("generating datasets...", flush=True)
-    tum = make_tum_dataset(os.path.join(DATA_ROOT, "tum_seq01"), n_tum)
+    # Dataset roots carry the frame count: a cached quick (60-frame) dataset
+    # must never masquerade as the full one (VERDICT r2 missing #2 — the r2
+    # table silently reported the quick smoke run).
+    tum = make_tum_dataset(
+        os.path.join(DATA_ROOT, f"tum_seq01_{n_tum}"), n_tum
+    )
     tum_long = make_tum_dataset(
-        os.path.join(DATA_ROOT, "tum_long"), n_long, seed=4
+        os.path.join(DATA_ROOT, f"tum_long_{n_long}"), n_long, seed=4,
+        loop_period=loop_period,
     )
     mh01 = make_euroc_dataset(
-        os.path.join(DATA_ROOT, "euroc_mh01"), n_euroc, kind="euroc_mh",
+        os.path.join(DATA_ROOT, f"euroc_mh01_{n_euroc}"), n_euroc,
+        kind="euroc_mh",
     )
     v101 = make_euroc_dataset(
-        os.path.join(DATA_ROOT, "euroc_v101"), n_euroc, kind="euroc_v1",
-        seed=2,
+        os.path.join(DATA_ROOT, f"euroc_v101_{n_euroc}"), n_euroc,
+        kind="euroc_v1", seed=2,
     )
 
+    long_args = ["-d", tum_long["rgb"], "-c", tum_long["calib"],
+                 "--tum-gt", tum_long["gt"], "--levels", "4",
+                 "--mono-depth", "2.5", "--features", "--ba",
+                 "--depth-bootstrap",
+                 "--platform", "cpu", "--host-devices", "8"]
+
     configs = {
+        0: {
+            "name": "REFERENCE-SEMANTICS baseline (parity anchor)",
+            "baseline": "reference active pipeline re-measured: <=200 "
+                        "matched keypoints x patches, identity weights, "
+                        "level-0 GN, 10 iters, z=1, no BA "
+                        "(/root/reference/src/System.cpp:193-223)",
+            "dataset": "tum_seq01 (same frames as config 1)",
+            "args": ["-d", tum["rgb"], "-c", tum["calib"],
+                     "--tum-gt", tum["gt"], "--reference-mode"],
+        },
         1: {
             "name": "TUM mono direct tracking (3-level pyramid, no BA)",
             "baseline": "TUM mono seq01 direct tracking, 3-level pyramid, "
@@ -369,20 +423,31 @@ def main() -> int:
                      "--depth-bootstrap"],
         },
         5: {
-            "name": "Long TUM + global distributed BA (8-device mesh)",
+            "name": "Long TUM + loop closure + global distributed BA "
+                    "(8-device mesh)",
             "baseline": "Full multi-host run: partitioned keyframe map + "
                         "distributed pose-graph BA on long TUM sequence",
-            "dataset": "tum_long (240 frames; 8 virtual devices, landmark-"
-                        "sharded Schur BA with psum pose reduction)",
-            "args": ["-d", tum_long["rgb"], "-c", tum_long["calib"],
-                     "--tum-gt", tum_long["gt"], "--levels", "4",
-                     "--mono-depth", "2.5", "--features", "--ba",
-                     "--depth-bootstrap", "--dist-ba",
-                     "--platform", "cpu", "--host-devices", "8"],
+            "dataset": f"tum_long ({n_long} frames, exact revisit at frame "
+                        f"{loop_period}; 8 virtual devices, landmark-sharded "
+                        "Schur BA with psum pose reduction)",
+            "args": long_args + ["--loop-closure", "--dist-ba"],
+        },
+        6: {
+            "name": "ABLATION of 5: no distributed BA (odometry+loop only)",
+            "baseline": "config 5 minus --dist-ba — the dist-BA ATE delta",
+            "dataset": "tum_long (same frames as config 5)",
+            "args": long_args + ["--loop-closure"],
+        },
+        7: {
+            "name": "ABLATION of 5: no loop closure (odometry+dist-BA only)",
+            "baseline": "config 5 minus --loop-closure — the loop ATE delta",
+            "dataset": "tum_long (same frames as config 5)",
+            "args": long_args + ["--dist-ba"],
         },
     }
 
     results = {}
+    health = []
     for idx in sorted(which):
         cfg = configs[idx]
         print(f"config {idx}: {cfg['name']}", flush=True)
@@ -396,6 +461,38 @@ def main() -> int:
               flush=True)
         if "error" in res:
             print(res["error"], flush=True)
+
+    # Eval-level health assertions (VERDICT r2 missing #1: nothing guarded
+    # that the global BA solved a REAL problem).
+    def _check(cond, msg):
+        if not cond:
+            health.append(msg)
+            print(f"HEALTH CHECK FAILED: {msg}", flush=True)
+
+    for idx in ("5", "7"):
+        r = results.get(idx)
+        if r is None or r.get("rc") != 0:
+            continue
+        _check(not r.get("dist_ba_skipped"),
+               f"config {idx}: distributed BA skipped (map too small)")
+        _check(r.get("dist_ba_obs", 0) >= 100,
+               f"config {idx}: dist BA ran on {r.get('dist_ba_obs', 0)} "
+               f"observations (needs a real problem)")
+        _check(r.get("dist_ba_applied", False),
+               f"config {idx}: dist BA result was not applied")
+    if "5" in results and "6" in results:
+        a5 = results["5"].get("ate_rmse_m")
+        a6 = results["6"].get("ate_rmse_m")
+        if a5 is not None and a6 is not None:
+            _check(a5 < a6,
+                   f"config 5 ATE ({a5}) not better than no-dist-BA "
+                   f"ablation ({a6})")
+    if "5" in results:
+        _check(results["5"].get("loop_edges", 0) > 0,
+               "config 5: no loop-closure edges accepted on the revisit "
+               "trajectory")
+    if health:
+        results["_health"] = {"failed": health}
 
     out_json = os.path.join(REPO, f"RESULTS_r{args.round:02d}.json")
     with open(out_json, "w") as f:
@@ -411,9 +508,16 @@ def write_results_md(results: dict, path: str) -> None:
         "",
         "Produced by `python eval.py` (one command reproduces this table).",
         "Hardware: whatever `jax.devices()` exposes — TPU v5e single chip "
-        "for configs 1-4; config 5 runs on an 8-virtual-device CPU mesh "
+        "for configs 0-4; configs 5-7 run on an 8-virtual-device CPU mesh "
         "(`--platform cpu --host-devices 8`) because multi-chip hardware "
         "is not attached to this rig.",
+        "",
+        "fps columns: `fps` times the WHOLE run including XLA compilation "
+        "(cold); `warm fps` excludes the first 15 frames, i.e. the steady "
+        "state the live loop sustains. Config 0 is the measured "
+        "reference-semantics baseline (the parity anchor BASELINE.md "
+        "requires); configs 6/7 are ablations of config 5 isolating the "
+        "distributed-BA and loop-closure ATE contributions.",
         "",
         "**Dataset caveat (per VERDICT r1 item 1):** real TUM/EUROC are not "
         "fetchable here (no network egress). Each config runs a synthetic "
@@ -424,13 +528,15 @@ def write_results_md(results: dict, path: str) -> None:
         "radtan distortion with the real MH01 cam0 coefficients, "
         "rectification exercised end-to-end).",
         "",
-        "| # | Config (BASELINE.json) | ATE RMSE (m) | fps | BA iters/s | notes |",
-        "|---|---|---|---|---|---|",
+        "| # | Config (BASELINE.json) | ATE RMSE (m) | fps | warm fps | "
+        "BA iters/s | notes |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for idx in sorted(results, key=int):
+    for idx in sorted((k for k in results if not k.startswith("_")), key=int):
         r = results[idx]
         ate = f"{r['ate_rmse_m']:.4f}" if "ate_rmse_m" in r else "—"
         fps = f"{r['fps']:.1f}" if "fps" in r else "—"
+        warm = f"{r['fps_warm']:.1f}" if "fps_warm" in r else "—"
         ba = (
             f"{r['dist_ba_iters_per_sec']:.1f} (dist, "
             f"{r.get('dist_ba_devices', '?')} dev)"
@@ -446,12 +552,17 @@ def write_results_md(results: dict, path: str) -> None:
             notes.append(
                 f"{r['dist_ba_landmarks']} landmarks/"
                 f"{r['dist_ba_obs']} obs global BA"
+                + ("" if r.get("dist_ba_applied") else " NOT APPLIED")
             )
+        if r.get("dist_ba_skipped"):
+            notes.append("dist BA SKIPPED")
+        if "loop_edges" in r:
+            notes.append(f"{r['loop_edges']} loop edges")
         if r.get("rc") != 0:
             notes.append("FAILED")
         lines.append(
-            f"| {idx} | {r['baseline_config']} | {ate} | {fps} | {ba} | "
-            f"{'; '.join(notes)} |"
+            f"| {idx} | {r['baseline_config']} | {ate} | {fps} | {warm} | "
+            f"{ba} | {'; '.join(notes)} |"
         )
     lines += [
         "",
@@ -460,6 +571,10 @@ def write_results_md(results: dict, path: str) -> None:
         "is Sim(3)-aligned (the standard monocular protocol).",
         "",
     ]
+    if "_health" in results:
+        lines += ["## HEALTH CHECK FAILURES", ""]
+        lines += [f"- {m}" for m in results["_health"]["failed"]]
+        lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
 

@@ -63,6 +63,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "over ICI (BASELINE config 5); implies --features")
     p.add_argument("--mono-depth", type=float, default=1.0,
                    help="assumed scene depth for pure-mono tracking")
+    p.add_argument("--reference-mode", action="store_true",
+                   help="reference-semantics preset for the parity baseline "
+                        "(BASELINE.md): identity weights, <=200 matched "
+                        "keypoints x patch points, level-0-only GN, 10 "
+                        "iters, constant z (--mono-depth, reference z=1), "
+                        "no BA / bootstrap / failure detection — the active "
+                        "pipeline of /root/reference/src/System.cpp:193-223")
+    p.add_argument("--loop-se3", action="store_true",
+                   help="with --loop-closure: optimize the pose graph over "
+                        "SE(3) instead of Sim(3) (A/B the scale-drift "
+                        "absorption)")
     p.add_argument("--depth-bootstrap", action="store_true",
                    help="monocular depth bootstrapping: triangulate feature "
                         "matches against the tracked pose and feed the "
@@ -288,10 +299,37 @@ def main(argv=None) -> int:
         profile=args.profile,
         trajectory_csv=args.trajectory_out,
     )
-    if args.photo_ba:
-        from dataclasses import replace
+    from dataclasses import replace
 
+    if args.photo_ba:
         config = replace(config, ba=replace(config.ba, photometric=True))
+    if args.loop_se3:
+        config = replace(config, loop=replace(config.loop, use_sim3=False))
+    if args.reference_mode:
+        # Reference active-pipeline semantics (src/System.cpp:193-223 +
+        # src/Tracker.cpp:632-872): features -> <=200 matched keypoints ->
+        # patch points, 10 GN iterations at pyramid level 0 ONLY, identity
+        # robust weights (Tukey exists but is off, src/Tracker.cpp:769),
+        # constant mono depth (z=1, src/Tracker.cpp:1228), no BA, no failure
+        # detection (a diverged GN writes a bad pose, SURVEY.md §5).
+        from ..tracking.robust import WeightKind
+
+        config = replace(
+            config,
+            tracker=replace(
+                config.tracker,
+                track_levels=(0,),
+                max_iterations=10,
+                weight_kind=WeightKind.NONE,
+                affine_brightness=False,
+                depth_bootstrap=False,
+            ),
+            use_features=True,
+            use_ba=False,
+            use_loop_closure=False,
+            use_reloc=False,
+            global_ba=False,
+        )
     system = SlamSystem(calib, config)
     if args.resume:
         start_at = system.resume_from(args.resume)
@@ -336,9 +374,16 @@ def main(argv=None) -> int:
 
         stack.enter_context(trace(args.trace))
     prefetcher = FramePrefetcher(seq)
+    # Steady-state timer: XLA compiles land in the first few frames (pyramid,
+    # track, select, plus keyframe/BA shapes); frames after `warmup` measure
+    # what the live loop actually sustains (VERDICT r2 missing #3).
+    warmup = min(15, max(0, n - 10))
+    t_warm = None
     for i, (img, depth) in prefetcher:
         if i >= n:
             break
+        if i == warmup:
+            t_warm = time.perf_counter()
         state = system.process_frame(
             img, depth,
             timestamp=seq.timestamps[i] if seq.timestamps is not None else None,
@@ -361,12 +406,25 @@ def main(argv=None) -> int:
     stack.close()  # flushes the profiler trace if one was started
     dt = time.perf_counter() - t0
     print(f"tracked {n} frames in {dt:.2f}s ({n / dt:.1f} fps)", file=sys.stderr)
+    if t_warm is not None and n - warmup >= 5:
+        dtw = time.perf_counter() - t_warm
+        nw = n - warmup
+        print(
+            f"steady state: {nw} frames in {dtw:.2f}s "
+            f"({nw / dtw:.1f} fps warm, first {warmup} frames excluded)",
+            file=sys.stderr,
+        )
     if system.ba_stats["runs"]:
         bs = system.ba_stats
         print(
             f"window BA: {bs['iters']} LM iters over {bs['runs']} runs in "
             f"{bs['time']:.2f}s ({bs['iters'] / max(bs['time'], 1e-9):.1f} "
             f"iters/s)",
+            file=sys.stderr,
+        )
+    if args.loop_closure and system._loops is not None:
+        print(
+            f"loop closure: {len(system._loops.loop_edges)} edges accepted",
             file=sys.stderr,
         )
     if args.dist_ba:

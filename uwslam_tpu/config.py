@@ -147,6 +147,10 @@ class LoopClosureConfig:
     vocab_min_desc: int = 1024
     min_similarity_vlad: float = 0.25
     use_vlad: bool = True
+    # Pose-graph group: Sim(3) (default — absorbs monocular scale drift at
+    # closure, the capability the reference's uw::Sim3 typedef intended,
+    # /root/reference/include/Options.h:130) vs SE(3) (--loop-se3).
+    use_sim3: bool = True
 
 
 @dataclass(frozen=True)

@@ -142,7 +142,9 @@ def _local_normal_eq(T_cw, pts_local, obs_kf, obs_lm_local, obs_uv, obs_valid,
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "mesh", "max_iters", "fix_first_pose"),
+    static_argnames=(
+        "cam", "mesh", "max_iters", "fix_first_pose", "num_fixed_poses",
+    ),
 )
 def distributed_bundle_adjust(
     problem: BAProblem,
@@ -152,6 +154,7 @@ def distributed_bundle_adjust(
     huber_delta: float = 2.0,
     init_lambda: float = 1e-3,
     fix_first_pose: bool = True,
+    num_fixed_poses: int = 1,
 ) -> BAResult:
     """LM bundle adjustment with landmarks sharded over mesh axis `lm`.
 
@@ -222,9 +225,12 @@ def distributed_bundle_adjust(
             S = S.at[idx, :, idx, :].set(U_d) - S_red
             rhs = g_p - rhs_red
             if fix_first_pose:
-                S = S.at[0].set(0.0).at[:, :, 0].set(0.0)
-                S = S.at[0, :, 0, :].set(jnp.eye(6, dtype=S.dtype))
-                rhs = rhs.at[0].set(0.0)
+                # Gauge anchors: 1 fixes the 6-dof frame; monocular problems
+                # pass 2 so the free global-scale direction is pinned too.
+                for a in range(max(1, num_fixed_poses)):
+                    S = S.at[a].set(0.0).at[:, :, a].set(0.0)
+                    S = S.at[a, :, a, :].set(jnp.eye(6, dtype=S.dtype))
+                    rhs = rhs.at[a].set(0.0)
             Sd = S.reshape(M * 6, M * 6)
             dp = jnp.linalg.solve(
                 Sd + 1e-8 * jnp.eye(M * 6, dtype=Sd.dtype), rhs.reshape(-1)

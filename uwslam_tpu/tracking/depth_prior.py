@@ -192,6 +192,10 @@ def fill_prior(prior: DepthPrior) -> DepthPrior:
     for _ in range(3):
         inv, w = spread(inv, w)
     med = _masked_median(inv, w > 0)
+    # A grid with NO support at all stays all-zero (sample_prior then falls
+    # back to mono_depth) instead of median-filling to a fabricated constant
+    # — lets callers fuse device-side-gated sources without a host check.
+    med = jnp.where(jnp.sum(prior.weight) > 0, med, 0.0)
     inv = jnp.where(w > 0, inv, med)
     w = jnp.maximum(w, 1e-3)
     return DepthPrior(inv_depth=inv, weight=w, block=prior.block)

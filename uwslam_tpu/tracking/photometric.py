@@ -42,6 +42,14 @@ from .points import TrackPoints
 from .robust import WeightKind, weights
 
 
+def _env_flag(name: str) -> bool:
+    """Boolean env-var gate: empty, "0", and "false" all mean OFF (so
+    UWSLAM_PALLAS_FUSED=0 disables rather than enables the kernel)."""
+    import os
+
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false")
+
+
 def _use_mxu_sampling() -> bool:
     """Dense (matmul) sampling beats scattered gathers on TPU; on CPU the
     O(N*H*W) contraction would be disastrous, so keep the gather there."""
@@ -60,12 +68,12 @@ def _sample_stack(stacked: jax.Array, uv: jax.Array):
     import os
 
     n = uv.shape[0]
-    # Opt-in only: this uv-based kernel's compile blows up embedded in the
-    # tracking program (the FUSED warp kernel in ops.pallas_track is the
-    # default hot path instead — it compiles fast and replaces the
-    # per-iteration call sites; this one would only serve the once-per-level
-    # reference pass).
-    if os.environ.get("UWSLAM_PALLAS") and jax.default_backend() == "tpu":
+    # Opt-in only (UWSLAM_PALLAS=1): both Pallas paths are opt-in — this
+    # uv-sample kernel's compile blows up embedded in the tracking program,
+    # and the FUSED warp kernel in ops.pallas_track (UWSLAM_PALLAS_FUSED=1)
+    # measured 2.5x slower end-to-end (see _use_pallas_fused). The two-einsum
+    # XLA path below is the measured default.
+    if _env_flag("UWSLAM_PALLAS") and jax.default_backend() == "tpu":
         for tile in (512, 256, 128):
             if n % tile == 0:
                 from ..ops.pallas_sample import pallas_bilinear_sample
@@ -95,7 +103,7 @@ def _use_pallas_fused(C: int, H: int, W: int) -> bool:
 
     return (
         jax.default_backend() == "tpu"
-        and bool(os.environ.get("UWSLAM_PALLAS_FUSED"))
+        and _env_flag("UWSLAM_PALLAS_FUSED")
         and fits_vmem(C, H, W)
     )
 
