@@ -136,7 +136,12 @@ class LoopClosureConfig:
     max_candidates: int = 3
     min_similarity: float = 0.70
     min_matches: int = 25
-    pnp_threshold_px: float = 3.0
+    # Wide-baseline revisit semantics (see map.loop_closure.LoopConfig for
+    # the measurements): relaxed ratio + loose PnP threshold with robust
+    # GN polish; the 3 px / 0.65 consecutive-frame settings verified a
+    # TRUE revisit with only 3-6 inliers and closed zero loops.
+    match_ratio: float = 0.80
+    pnp_threshold_px: float = 8.0
     pnp_min_inliers: int = 20
     odometry_weight: float = 100.0
     loop_weight: float = 30.0

@@ -74,7 +74,18 @@ class LoopConfig:
     min_similarity_vlad: float = 0.25
     use_vlad: bool = True
     min_matches: int = 25
-    pnp_threshold_px: float = 3.0
+    # Wide-baseline revisit matching: the 0.65 consecutive-frame ratio
+    # starves loop pairs exactly like it starved the global-BA keyframe
+    # pairs (measured on the revisit eval: 32 -> 59 matches at 0.80; the
+    # PnP-RANSAC verification right after keeps precision).
+    match_ratio: float = 0.80
+    # Verification threshold: keyframe keypoint 3D carries depth-prior
+    # noise, and the revisit baseline amplifies it to several px of
+    # reprojection error — at 3 px a TRUE revisit verified with 3-6
+    # inliers (rejected); at 8 px with the same true pose it clears
+    # pnp_min_inliers while the robust GN polish (soft MSAC weights)
+    # keeps the edge pose anchored to the small-residual matches.
+    pnp_threshold_px: float = 8.0
     pnp_min_inliers: int = 20
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
@@ -232,7 +243,8 @@ class LoopCloser:
                 break
             cand = past[int(n)]
             m = match_descriptors(
-                cand.kp_desc, cur.kp_desc, cand.kp_valid, cur.kp_valid
+                cand.kp_desc, cur.kp_desc, cand.kp_valid, cur.kp_valid,
+                ratio=cfg.match_ratio,
             )
             if int(m.valid.sum()) < cfg.min_matches:
                 continue

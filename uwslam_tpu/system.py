@@ -462,6 +462,14 @@ class SlamSystem:
                 depth = sample_prior(
                     self._depth_prior, kps.uv, self.config.tracker.mono_depth
                 )
+            if depth_dev is None and self._kp_depth is not None:
+                # Exact per-keypoint triangulated depth (gauge-anchored in
+                # _update_prior) where available: the coarse prior grid
+                # quantizes depth across cells, and that alone costs loop
+                # verification several px of PnP reprojection error at
+                # revisit baselines.
+                d_kp = self._kp_depth[: kps.uv.shape[0]]
+                depth = jnp.where(d_kp > 1e-6, d_kp, depth)
             kf = kf._replace(
                 kp_uv=kps.uv,
                 kp_desc=desc,
