@@ -70,7 +70,12 @@ class KeyframeStore:
         frame_id: int,
         T_wc: jax.Array,
         inlier_ratio: float,
+        rel_log: np.ndarray | None = None,
     ) -> bool:
+        """rel_log: host copy of log(latest.T_wc^-1 @ T_wc), if the caller
+        already transferred it (SlamSystem folds it into the single per-frame
+        diagnostics pull — computing it here costs one extra device->host
+        round trip per frame, ~40 ms through a remote-TPU tunnel)."""
         if not self.keyframes:
             return True
         gap = frame_id - self._last_kf_frame_id
@@ -80,10 +85,12 @@ class KeyframeStore:
             return True
         if inlier_ratio < self.decision.min_inlier_ratio:
             return True
-        rel = se3.log(se3.compose(se3.inverse(self.latest.T_wc), T_wc))
-        rel = np.asarray(rel)
-        t = float(np.linalg.norm(rel[:3]))
-        r = float(np.linalg.norm(rel[3:]))
+        if rel_log is None:
+            rel_log = np.asarray(
+                se3.log(se3.compose(se3.inverse(self.latest.T_wc), T_wc))
+            )
+        t = float(np.linalg.norm(rel_log[:3]))
+        r = float(np.linalg.norm(rel_log[3:]))
         return t > self.decision.max_translation or r > self.decision.max_rotation
 
     def insert(self, kf: Keyframe) -> Keyframe | None:

@@ -143,6 +143,17 @@ class SlamSystem:
         # sync=True fences the device per stage — accurate breakdowns, but
         # only when profiling is requested (fencing costs throughput).
         self.timers = StageTimer(sync=self.config.profile)
+        # Cached fused per-frame programs (built lazily on first frame).
+        # Eager jnp/se3 glue costs ~5-10 ms PER OP through a remote-device
+        # tunnel (each op is its own dispatched program); batching the whole
+        # frame step into a few jitted programs took the measured live loop
+        # from ~3 fps to >10 fps at identical ATE.
+        self._fn_ingest_pyr = None
+        self._fn_track_diag = None
+        self._fn_detect = None
+        self._fn_match = None
+        self._fn_prior_core = None
+        self._fn_select_boot = None
 
     # ------------------------------------------------------------------ ingest
 
@@ -153,6 +164,71 @@ class SlamSystem:
             img = remap_bilinear(img, self._rect_map)
         x0, y0, w, h = self._roi
         return jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+
+    def _ingest_pyramid(self, image: np.ndarray):
+        """ONE jitted program for upload -> convert -> rectify -> crop ->
+        pyramid+gradients. The upload stays in the input dtype (uint8 frames
+        transfer 4x less than f32); conversion happens on device."""
+        if self._fn_ingest_pyr is None:
+            rect = self._rect_map
+            x0, y0, w, h = self._roi
+            levels = self.config.tracker.pyramid_levels
+
+            def fn(img):
+                img = img.astype(jnp.float32)
+                if rect is not None:
+                    img = remap_bilinear(img, rect)
+                img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+                return build_pyramid(img, levels=levels)
+
+            self._fn_ingest_pyr = jax.jit(fn)
+        return self._fn_ingest_pyr(jnp.asarray(image))
+
+    def _track_and_diag(self, prev_pyr, pyr, prev_pts, T_init, T_ref_kf):
+        """ONE jitted program for the track step AND everything the host
+        needs from it: LM tracking, speculative world-pose composition,
+        pose-relative-to-keyframe, keyframe-decision motion log, and the
+        packed 42-float diagnostics vector (the frame's single transfer)."""
+        if self._fn_track_diag is None:
+            cam = self.cam
+            tcfg = self.config.tracker
+
+            def fn(prev_pyr, pyr, prev_pts, T_init, T_wc, T_ref):
+                out = track(
+                    prev_pyr, pyr, prev_pts, cam,
+                    T_init=T_init,
+                    levels=tcfg.track_levels,
+                    max_iters=tcfg.max_iterations,
+                    weight_kind=tcfg.weight_kind,
+                    mode=tcfg.track_mode,
+                    affine=tcfg.affine_brightness,
+                )
+                T_rel = out.T
+                T_wc_new = se3.normalize(
+                    se3.compose(T_wc, se3.inverse(T_rel))
+                )
+                T_kf_frame = se3.compose(se3.inverse(T_ref), T_wc_new)
+                diag = jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [
+                                out.inliers.astype(jnp.float32),
+                                prev_pts.valid.sum().astype(jnp.float32),
+                                out.error.astype(jnp.float32),
+                                jnp.isfinite(T_rel).all().astype(jnp.float32),
+                            ]
+                        ),
+                        T_wc_new.reshape(-1),
+                        T_kf_frame.reshape(-1),
+                        se3.log(T_kf_frame),
+                    ]
+                )
+                return out, T_wc_new, diag
+
+            self._fn_track_diag = jax.jit(fn)
+        return self._fn_track_diag(
+            prev_pyr, pyr, prev_pts, T_init, self._T_wc, T_ref_kf
+        )
 
     def _select_points(self, pyr, depth_image):
         cfg = self.config.tracker
@@ -165,6 +241,9 @@ class SlamSystem:
                 mono_z=cfg.mono_depth,
                 stride=cfg.dense_stride,
             )
+        if depth_image is None and self._depth_prior is not None:
+            # Fused top-K + prior sample + unproject (one program).
+            return self._select_boot(pyr)
         pts = topk_gradient_points(
             pyr.images[0],
             pyr.grad_mag[0],
@@ -174,8 +253,6 @@ class SlamSystem:
             mono_z=cfg.mono_depth,
             block=cfg.point_block,
         )
-        if depth_image is None:
-            pts = self._apply_prior(pts)  # no-op until bootstrapped
         return pts
 
     def _bootstrap_enabled(self, depth_dev) -> bool:
@@ -574,16 +651,183 @@ class SlamSystem:
 
     def _detect_features(self, pyr):
         """Feature front-end: multi-scale detection + descriptors
-        (reference RobustMatcher detect stage, src/Tracker.cpp:187-223)."""
-        from .features import describe, detect_multiscale
+        (reference RobustMatcher detect stage, src/Tracker.cpp:187-223).
+        Fused into ONE jitted program (detect + describe)."""
+        if self._fn_detect is None:
+            from .features import describe, detect_multiscale
 
-        fcfg = self.config.features
-        kps = detect_multiscale(
-            pyr.grad_x, pyr.grad_y,
-            per_level=fcfg.per_level, levels=fcfg.detect_levels,
+            fcfg = self.config.features
+
+            def fn(pyr):
+                kps = detect_multiscale(
+                    pyr.grad_x, pyr.grad_y,
+                    per_level=fcfg.per_level, levels=fcfg.detect_levels,
+                )
+                desc = describe(pyr.images, kps.uv, kps.level, kps.valid)
+                return kps, desc
+
+            self._fn_detect = jax.jit(fn)
+        return self._fn_detect(pyr)
+
+    def _match_only(self, prev, cur):
+        """Match previous->current features (ratio + F-RANSAC) WITHOUT
+        building patch points — the bootstrap path tracks on the top-K
+        selection and needs only the match set (for triangulation and the
+        per-keypoint depth table). One jitted program."""
+        if self._fn_match is None:
+            from .features import fundamental_ransac, match_descriptors
+
+            fcfg = self.config.features
+
+            def fn(kp_a_uv, desc_a, valid_a, kp_b_uv, desc_b, valid_b, key):
+                m = match_descriptors(
+                    desc_a, desc_b, valid_a, valid_b, ratio=fcfg.ratio
+                )
+                uv_a = kp_a_uv[m.idx_a]
+                uv_b = kp_b_uv[m.idx_b]
+                res = fundamental_ransac(
+                    uv_a, uv_b, m.valid, key,
+                    threshold=fcfg.ransac_threshold_px,
+                    num_hypotheses=fcfg.ransac_hypotheses,
+                    min_inliers=fcfg.min_matches,
+                )
+                good = m.valid & res.inliers
+                return uv_a, uv_b, good, m.idx_a, m.idx_b
+
+            self._fn_match = jax.jit(fn)
+        import jax.random as jrandom
+
+        (kp_a, desc_a), (kp_b, desc_b) = prev, cur
+        return self._fn_match(
+            kp_a.uv, desc_a, kp_a.valid, kp_b.uv, desc_b, kp_b.valid,
+            jrandom.PRNGKey(self._frame_id),
         )
-        desc = describe(pyr.images, kps.uv, kps.level, kps.valid)
-        return kps, desc
+
+    def _prior_core(self, T_rel, prev_pts, cur_pyr, matches):
+        """Steady-state prior refresh as ONE jitted program: photometric
+        per-point refinement + transfer, match triangulation, gauge
+        anchoring against the propagated prior, support gating, fusion, and
+        the per-keypoint depth table. Semantics identical to _update_prior's
+        source list 1/2/3 (the wide-baseline anchor source only exists
+        during the first bootstrap_anchor_frames, handled by the fallback
+        path)."""
+        if self._fn_prior_core is None:
+            from .tracking.depth_prior import (
+                DepthPrior,
+                fill_prior,
+                gauge_ratio,
+                prior_from_points,
+                propagate_prior,
+                triangulate_matches,
+            )
+            from .tracking.depth_refine import (
+                refine_inverse_depth,
+                transfer_depths,
+            )
+
+            cam = self.cam
+            blk = self.config.tracker.bootstrap_block
+            H, W = cam.height, cam.width
+            fcfg = self.config.features
+            cap = fcfg.per_level * fcfg.detect_levels
+
+            def gated(grid, support, min_support):
+                keep = support >= min_support
+                return grid._replace(
+                    weight=jnp.where(keep, grid.weight, 0.0),
+                    inv_depth=jnp.where(keep, grid.inv_depth, 0.0),
+                )
+
+            def fn(prior, T_rel, prev_pts, img0, gx0, gy0,
+                   uv_a, uv_b, good, idx_b):
+                prop = propagate_prior(prior, T_rel, cam)
+
+                ref = refine_inverse_depth(
+                    prev_pts, T_rel, img0, gx0, gy0, cam
+                )
+                uv_t, z_t, ok = transfer_depths(
+                    prev_pts, ref.inv_depth, ref.good, T_rel, cam
+                )
+                g1 = prior_from_points(uv_t, z_t, ok, H, W, block=blk)
+                s1 = gauge_ratio(g1, prop)
+                g1 = g1._replace(inv_depth=g1.inv_depth / s1)
+                g1 = gated(g1, jnp.sum(ref.good), 50)
+
+                tri = triangulate_matches(cam, T_rel, uv_a, uv_b, good)
+                n_tri = jnp.sum(tri.good)
+                g2 = prior_from_points(
+                    uv_b, tri.depth_b, tri.good, H, W, block=blk
+                )
+                s2 = gauge_ratio(g2, prop)
+                g2 = g2._replace(inv_depth=g2.inv_depth / s2)
+                g2 = gated(g2, n_tri, 20)
+                kp_depth = (
+                    jnp.zeros(cap, jnp.float32)
+                    .at[idx_b]
+                    .set(
+                        jnp.where(
+                            tri.good & (n_tri >= 20),
+                            tri.depth_b * s2,
+                            0.0,
+                        )
+                    )
+                )
+
+                grids = [g1, g2, prop]
+                wsum = sum(g.weight for g in grids)
+                inv = jnp.where(
+                    wsum > 0,
+                    sum(g.inv_depth * g.weight for g in grids)
+                    / jnp.maximum(wsum, 1e-6),
+                    0.0,
+                )
+                fused = fill_prior(
+                    DepthPrior(inv_depth=inv, weight=wsum, block=blk)
+                )
+                return fused, kp_depth
+
+            self._fn_prior_core = jax.jit(fn)
+        uv_a, uv_b, good, _, idx_b = matches
+        return self._fn_prior_core(
+            self._depth_prior, T_rel, prev_pts,
+            cur_pyr.images[0], cur_pyr.grad_x[0], cur_pyr.grad_y[0],
+            uv_a, uv_b, good, idx_b,
+        )
+
+    def _select_boot(self, pyr):
+        """Bootstrap steady-state point selection as ONE jitted program:
+        top-K gradient points + prior depth sample + unproject."""
+        if self._fn_select_boot is None:
+            cfg = self.config.tracker
+            cam = self.cam
+
+            def fn(img0, gmag0, prior):
+                pts = topk_gradient_points(
+                    img0, gmag0, cam,
+                    num_points=cfg.num_points,
+                    mono_z=cfg.mono_depth,
+                    block=cfg.point_block,
+                )
+                if cfg.bootstrap_edge_ratio > 0:
+                    from .tracking.depth_prior import sample_prior_checked
+
+                    depth, ok = sample_prior_checked(
+                        prior, pts.uv, cfg.mono_depth,
+                        max_edge_ratio=cfg.bootstrap_edge_ratio,
+                    )
+                    return pts._replace(
+                        p3d=cam.unproject(pts.uv, depth),
+                        valid=pts.valid & ok,
+                    )
+                from .tracking.depth_prior import sample_prior
+
+                depth = sample_prior(prior, pts.uv, cfg.mono_depth)
+                return pts._replace(p3d=cam.unproject(pts.uv, depth))
+
+            self._fn_select_boot = jax.jit(fn)
+        return self._fn_select_boot(
+            pyr.images[0], pyr.grad_mag[0], self._depth_prior
+        )
 
     def _feature_points(self, prev, cur, depth_image):
         """Match previous->current features (ratio+symmetry+RANSAC) and build
@@ -657,8 +901,7 @@ class SlamSystem:
 
         ts = float(timestamp) if timestamp is not None else float(self._frame_id)
         with self.timers.stage("ingest"):
-            img = self._ingest(image)
-            pyr = _sync(build_pyramid(img, levels=cfg.tracker.pyramid_levels))
+            pyr = _sync(self._ingest_pyramid(image))
         depth_dev = None
         if depth is not None:
             ddev = jnp.asarray(depth, jnp.float32)
@@ -698,24 +941,27 @@ class SlamSystem:
             prev_pyr, prev_pts, prev_depth = self._prev
             self._last_matches = None
             if cfg.use_features and self._prev_feats is not None:
-                # Reference active path: match features, patch points around
-                # matched previous keypoints (src/System.cpp:211-213).
-                feat_pts, n_matches = self._feature_points(
-                    self._prev_feats, cur_feats, prev_depth
-                )
-                # Under depth bootstrapping, track on the spread top-K
-                # selection instead: patch points sit on corners, which are
-                # exactly the occlusion boundaries where depth is bimodal —
-                # measured 3.3x worse ATE than top-K even with ground-truth
-                # depth on the multi-plane scene. Features then serve
-                # matching/triangulation only.
-                # Short-circuit order matters: under bootstrap the match
-                # count is never pulled to host (it only gates this swap).
-                if (
-                    not self._bootstrap_enabled(prev_depth)
-                    and int(n_matches) >= self.config.features.min_matches
-                ):
-                    prev_pts = feat_pts
+                if self._bootstrap_enabled(prev_depth):
+                    # Under depth bootstrapping, track on the spread top-K
+                    # selection: patch points sit on corners, which are
+                    # exactly the occlusion boundaries where depth is
+                    # bimodal — measured 3.3x worse ATE than top-K even
+                    # with ground-truth depth on the multi-plane scene.
+                    # Features serve matching/triangulation only, so this
+                    # path runs the match-only fused program (no patch
+                    # points, no host pull).
+                    self._last_matches = self._match_only(
+                        self._prev_feats, cur_feats
+                    )
+                else:
+                    # Reference active path: match features, patch points
+                    # around matched previous keypoints
+                    # (src/System.cpp:211-213).
+                    feat_pts, n_matches = self._feature_points(
+                        self._prev_feats, cur_feats, prev_depth
+                    )
+                    if int(n_matches) >= self.config.features.min_matches:
+                        prev_pts = feat_pts
             # Constant-velocity init: T_cur<-prev ~ last relative motion.
             T_init = self._velocity
             if (
@@ -728,37 +974,27 @@ class SlamSystem:
                     T_init, self._depth_prior = boot
                     prev_pts = self._apply_prior(prev_pts)
             with self.timers.stage("track"):
-                out = track(
-                    prev_pyr,
-                    pyr,
-                    prev_pts,
-                    self.cam,
-                    T_init=T_init,
-                    levels=cfg.tracker.track_levels,
-                    max_iters=cfg.tracker.max_iterations,
-                    weight_kind=cfg.tracker.weight_kind,
-                    mode=cfg.tracker.track_mode,
-                    affine=cfg.tracker.affine_brightness,
+                # Speculative device-side state propagation, ONE program +
+                # ONE device->host transfer (42 floats) carrying every
+                # gating scalar AND every pose the host-side bookkeeping
+                # reads. Through a remote-TPU tunnel each separate pull is a
+                # ~40 ms round trip and each EAGER jnp op a ~5-10 ms
+                # dispatch; the previous layout (eager se3 glue + 4 pulls
+                # per frame) capped the live loop at ~3 fps regardless of
+                # device speed.
+                out, T_wc_new, diag = self._track_and_diag(
+                    prev_pyr, pyr, prev_pts, T_init,
+                    self.keyframes.latest.T_wc,
                 )
                 T_rel = out.T                     # cur <- prev
-                # ONE device->host transfer for all per-frame gating scalars
-                # (VERDICT r1 weak #4: the live path paid 5 separate pulls —
-                # inliers, capacity, error finiteness, error, pose
-                # finiteness — per frame). Also closes the timed region.
-                diag = np.asarray(
-                    jnp.stack(
-                        [
-                            out.inliers.astype(jnp.float32),
-                            prev_pts.valid.sum().astype(jnp.float32),
-                            out.error.astype(jnp.float32),
-                            jnp.isfinite(T_rel).all().astype(jnp.float32),
-                        ]
-                    )
-                )
+                diag = np.asarray(diag)
             inliers = int(diag[0])
             capacity = int(diag[1])
             track_error = float(diag[2])
             pose_finite = bool(diag[3])
+            T_wc_np = diag[4:20].reshape(4, 4).copy()
+            T_kf_frame_np = diag[20:36].reshape(4, 4).copy()
+            rel_kf_log = diag[36:42]
             ratio = inliers / max(capacity, 1)
 
             # Failure detection (reference: none — a diverged GN writes a bad
@@ -795,13 +1031,23 @@ class SlamSystem:
                     status = "lost"
             else:
                 self._velocity = T_rel
-                self._T_wc = se3.normalize(
-                    se3.compose(self._T_wc, se3.inverse(T_rel))
-                )
+                self._T_wc = T_wc_new   # already composed device-side above
                 if self._bootstrap_enabled(depth_dev):
-                    self._update_prior(
-                        T_rel, prev_pyr, prev_pts, pyr, cur_feats
-                    )
+                    if (
+                        self._depth_prior is not None
+                        and self._boot_anchor is None
+                        and self._last_matches is not None
+                    ):
+                        # Steady state: one fused program (zero host pulls).
+                        self._depth_prior, self._kp_depth = self._prior_core(
+                            T_rel, prev_pts, pyr, self._last_matches
+                        )
+                    else:
+                        # Bootstrap window / recovery: the multi-source path
+                        # with the wide-baseline anchor and install gating.
+                        self._update_prior(
+                            T_rel, prev_pyr, prev_pts, pyr, cur_feats
+                        )
             with self.timers.stage("select"):
                 pts = _sync(self._select_points(pyr, depth_dev))
                 if (
@@ -818,7 +1064,9 @@ class SlamSystem:
                     pts = self._refine_selected(pts, T_rel, prev_pyr)
             is_kf = status != "lost" and (
                 status == "relocalized"
-                or self.keyframes.should_insert(self._frame_id, self._T_wc, ratio)
+                or self.keyframes.should_insert(
+                    self._frame_id, self._T_wc, ratio, rel_log=rel_kf_log
+                )
             )
             if is_kf:
                 kf = self._make_keyframe(ts, pyr, pts, cur_feats, depth_dev)
@@ -840,13 +1088,22 @@ class SlamSystem:
                             self._run_window_ba()
                         self._kf_since_ba = 0
             ref_kf = self.keyframes.latest
-            T_kf_frame = np.asarray(
-                se3.compose(se3.inverse(ref_kf.T_wc), self._T_wc)
-            )
+            # Healthy frames reuse the poses from the single diagnostics
+            # transfer; only the rare lost/relocalized paths (and keyframes,
+            # whose window-BA correction may have just moved self._T_wc) pay
+            # an extra pull.
+            if status == "ok" and not is_kf:
+                T_wc_host = T_wc_np
+                T_kf_frame = T_kf_frame_np
+            else:
+                T_wc_host = np.asarray(self._T_wc)
+                T_kf_frame = np.asarray(
+                    se3.compose(se3.inverse(ref_kf.T_wc), self._T_wc)
+                )
             state = FrameState(
                 frame_id=self._frame_id,
                 timestamp=ts,
-                T_wc=np.asarray(self._T_wc),
+                T_wc=T_wc_host,
                 tracked_inliers=inliers,
                 track_error=track_error,
                 is_keyframe=is_kf,
