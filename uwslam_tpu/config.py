@@ -110,6 +110,18 @@ class BAConfig:
     # Information weight anchoring window poses to tracked odometry
     # (1/sigma^2 in (units, rad)^-2 summed-residual scale; 0 disables).
     pose_prior_weight: float = 1e5
+    # Optional anchor for the end-of-run GLOBAL distributed BA toward the
+    # chain it starts from. Default OFF: once the global track graph
+    # contains cross-loop observations and multi-view-triangulated
+    # landmarks, the unanchored solve is strictly best (240-frame revisit
+    # eval: 0.161 at w=0 vs 0.175 at 1e3, 0.182 at 1e4, 0.184 at 1e5 —
+    # the prior only holds the correction back). Before the cross-loop
+    # pairs existed the opposite held (unanchored 0.190 vs loop-only
+    # 0.183): a global BA whose problem contains no information beyond the
+    # odometry+PGO chain can only re-drift it, and this weight was the
+    # guard. Keep it available for maps where loop closure is off and the
+    # seeded problem is weak.
+    global_pose_prior_weight: float = 0.0
     landmark_capacity: int = 4096
     obs_capacity: int = 16384
     run_every_n_keyframes: int = 1

@@ -191,24 +191,47 @@ class TrackGraph:
         o = 0
         l = 0
         track_order = []
-        for tid, views in sel:
-            if l >= max_landmarks or o + len(views) > max_obs:
-                break
-            X = self._init_landmark(views, T_cw_p, T_wc, cam, seed_p3d)
-            if X is None:
-                continue
-            # Per-view verdicts under the INITIAL poses.
-            view_ok = []
+        gate = obs_gate_px if obs_gate_px is not None else max_init_reproj_px
+
+        def _view_errors(X):
+            errs = []
             for pos, _k, uv, _kp in views:
                 pc = T_cw_p[pos][:3, :3] @ X + T_cw_p[pos][:3, 3]
                 if pc[2] < 1e-3:
-                    view_ok.append(False)
+                    errs.append(np.inf)
                     continue
                 pu = cam.fx * pc[0] / pc[2] + cam.cx
                 pv = cam.fy * pc[1] / pc[2] + cam.cy
-                err = np.hypot(pu - uv[0], pv - uv[1])
-                gate = obs_gate_px if obs_gate_px is not None else max_init_reproj_px
-                view_ok.append(bool(err <= gate))
+                errs.append(float(np.hypot(pu - uv[0], pv - uv[1])))
+            return np.asarray(errs)
+
+        for tid, views in sel:
+            if l >= max_landmarks or o + len(views) > max_obs:
+                break
+            # Candidate initializations: seed lift (immune to inter-keyframe
+            # drift but carrying depth-prior noise) vs multi-view DLT
+            # triangulation under the CURRENT poses (exact when the chain is
+            # good — e.g. after loop-closure correction — garbage when it
+            # drifted). Judged by their own reprojections: keep whichever
+            # passes more views, tie-broken by median error.
+            cands = []
+            X_seed = self._init_landmark(views, T_cw_p, T_wc, cam, seed_p3d)
+            if X_seed is not None:
+                cands.append(X_seed)
+            if len(views) >= 2:
+                X_tri = _triangulate_views_np(views, T_cw_p, cam)
+                if X_tri is not None:
+                    cands.append(X_tri)
+            if not cands:
+                continue
+            scored = []
+            for X in cands:
+                errs = _view_errors(X)
+                ok = errs <= gate
+                scored.append((int(ok.sum()), -float(np.median(errs)), X, ok))
+            scored.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            _, _, X, view_ok = scored[0]
+            view_ok = [bool(v) for v in view_ok]
             if obs_gate_px is None:
                 # Strict per-landmark gate: all views or nothing.
                 if not all(view_ok):
@@ -257,6 +280,30 @@ class TrackGraph:
         if not np.isfinite(X).all():
             return None
         return X
+
+
+def _triangulate_views_np(views, T_cw, cam: PinholeCamera) -> np.ndarray | None:
+    """Multi-view linear (DLT) triangulation over ALL of a track's views in
+    normalized coordinates. More accurate than first/last two-view when the
+    pose chain is good (every observation constrains), and the caller's
+    reprojection scoring rejects it when the chain is not."""
+    rows = []
+    for pos, _k, uv, _kp in views:
+        x = (uv[0] - cam.cx) / cam.fx
+        y = (uv[1] - cam.cy) / cam.fy
+        P = np.asarray(T_cw[pos])[:3, :]
+        rows.append(x * P[2] - P[0])
+        rows.append(y * P[2] - P[1])
+    A = np.stack(rows)
+    try:
+        _, _, Vt = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        return None
+    X = Vt[-1]
+    if abs(X[3]) < 1e-12:
+        return None
+    X = (X[:3] / X[3]).astype(np.float32)
+    return X if np.isfinite(X).all() else None
 
 
 def _triangulate_np(

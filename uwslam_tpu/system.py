@@ -1344,6 +1344,25 @@ class SlamSystem:
         for ib in range(1, len(hist)):
             for ia in range(max(0, ib - 3), ib):
                 _match_pair(hist[ia], hist[ib])
+        # Cross-loop pairs: tracks joining the two passes of a verified
+        # revisit are the strongest global constraints the map has — without
+        # them the BA problem contains no information beyond what the
+        # pose-graph correction already used, and the solve can only degrade
+        # the loop-closed chain. Match every accepted loop edge's keyframe
+        # pair (and its immediate neighbors, widening the co-visible set).
+        if self._loops is not None and self._loops.loop_edges:
+            by_fid = {int(h[0]): i for i, h in enumerate(hist)}
+            lh = self._loops.history
+            for e in self._loops.loop_edges:
+                ia = by_fid.get(int(lh[e.i].frame_id))
+                ib = by_fid.get(int(lh[e.j].frame_id))
+                if ia is None or ib is None:
+                    continue
+                for da in (0, 1):
+                    for db in (-1, 0):
+                        a, b = ia + da, ib + db
+                        if 0 <= a < len(hist) and 0 <= b < len(hist) and a < b:
+                            _match_pair(hist[a], hist[b])
         kf_ids = [int(h[0]) for h in hist]
         T_cw = np.stack(
             [
@@ -1390,6 +1409,7 @@ class SlamSystem:
                 # Monocular gauge: fix TWO poses so the free global-scale
                 # direction is anchored, not just the 6-dof frame.
                 num_fixed_poses=2,
+                pose_prior_weight=self.config.ba.global_pose_prior_weight,
             )
             it = int(out.iterations)  # device sync
             return out, it, time.perf_counter() - t0
