@@ -96,6 +96,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR "
                         "(view with TensorBoard/XProf)")
+    p.add_argument("--weights", choices=("tukey", "huber", "none"),
+                   default="huber",
+                   help="robust IRLS kernel for photometric tracking "
+                        "(measured: huber 0.053 / none 0.052 / tukey 0.148 "
+                        "ATE on the TUM stand-in — see TrackerConfig; "
+                        "reference ships Tukey but runs identity, "
+                        "src/Tracker.cpp:769)")
+    p.add_argument("--track-levels", default=None,
+                   help="comma-separated coarse-to-fine level schedule "
+                        "override, e.g. '2,1,0' (default: levels-2 .. 0)")
+    p.add_argument("--gn-iters", type=int, default=10,
+                   help="max LM/GN iterations per pyramid level")
     p.add_argument("--track-mode", choices=("fc", "ic"), default="fc",
                    help="photometric LM flavor: forward-compositional or "
                         "inverse-compositional (constant reference Jacobian; "
@@ -104,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jointly estimate affine brightness (a, b) per frame "
                         "pair — for scenes violating brightness constancy "
                         "(underwater attenuation, exposure changes)")
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="disable the frames-in-flight live loop (one fused "
+                        "device program per frame + async diagnostics "
+                        "readback retired one frame late) and process every "
+                        "frame synchronously")
     p.add_argument("--offline", action="store_true",
                    help="throughput mode: batch the whole dataset through the "
                         "data-parallel tracker (vmapped over frame pairs) "
@@ -281,11 +298,20 @@ def main(argv=None) -> int:
     )
     from ..system import SlamSystem
 
+    from ..tracking.robust import WeightKind
+
     calib = camera.load(args.calibration)
+    track_levels = (
+        tuple(int(s) for s in args.track_levels.split(","))
+        if args.track_levels
+        else tuple(range(args.levels - 2, -1, -1))
+    )
     config = SlamConfig(
         tracker=TrackerConfig(
             pyramid_levels=args.levels,
-            track_levels=tuple(range(args.levels - 2, -1, -1)),
+            track_levels=track_levels,
+            max_iterations=args.gn_iters,
+            weight_kind=WeightKind(args.weights),
             mono_depth=args.mono_depth,
             num_points=args.num_points,
             track_mode=args.track_mode,
@@ -379,16 +405,21 @@ def main(argv=None) -> int:
     # what the live loop actually sustains (VERDICT r2 missing #3).
     warmup = min(15, max(0, n - 10))
     t_warm = None
+    # Pipelined by default: frames in flight with async diag readback
+    # (results one frame late). --no-pipeline / --profile force the
+    # synchronous path (per-stage timers need fenced stages).
+    pipelined = not (args.no_pipeline or args.profile)
+    step = system.process_frame_async if pipelined else system.process_frame
     for i, (img, depth) in prefetcher:
         if i >= n:
             break
         if i == warmup:
             t_warm = time.perf_counter()
-        state = system.process_frame(
+        state = step(
             img, depth,
             timestamp=seq.timestamps[i] if seq.timestamps is not None else None,
         )
-        if i % 50 == 0:
+        if i % 50 == 0 and state is not None:
             print(
                 f"frame {i}: inliers={state.tracked_inliers} "
                 f"err={state.track_error:.3f} kf={state.is_keyframe}",
@@ -402,6 +433,8 @@ def main(argv=None) -> int:
                 else None
             )
             viz.update(est, gt_pos)
+    if pipelined:
+        system.flush()   # retire the last in-flight frame
     prefetcher.close()
     stack.close()  # flushes the profiler trace if one was started
     dt = time.perf_counter() - t0

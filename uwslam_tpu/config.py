@@ -28,14 +28,18 @@ class TrackerConfig:
     point_mode: str = "semi_dense"       # "semi_dense" (ObtainCandidatePoints)
                                          # | "dense" (ObtainAllPoints)
     dense_stride: int = 2                # pixel stride in dense mode
-    # Tukey by default: its redescending rejection is what survives occlusion
-    # boundaries (measured on the multi-plane synthetic scene: Huber's
-    # monotone weights let occluded points drag the pose 25% short in
-    # translation, and its per-level MAD scale is estimated at the INITIAL
-    # pose where inlier residuals are still large; Tukey re-estimates scale
-    # per iteration and recovers |t| to within 4%). The reference ships the
-    # same constant (4.6851, src/Tracker.cpp:1626) but runs identity weights.
-    weight_kind: WeightKind = WeightKind.TUKEY
+    # Huber by default (round-4 re-measurement on the 150-frame multi-plane
+    # TUM stand-in, per-config ATE): Tukey's redescending rejection is
+    # poison under constant-depth MODEL error — the steady-state residuals
+    # of the highest-parallax (nearest) points exceed the MAD scale of the
+    # typical model error, so exactly the points that constrain translation
+    # get zero weight, and ATE lands at 0.148 (after the rho-objective fix;
+    # 0.189 before) vs 0.053 for Huber and identity on the same frames.
+    # Huber's monotone weights keep every point influential while still
+    # bounding gross outliers, and match identity to 1% here while being
+    # strictly safer on occlusion boundaries. The reference ships Tukey
+    # (4.6851, src/Tracker.cpp:1626) but runs identity weights (:769).
+    weight_kind: WeightKind = WeightKind.HUBER
     track_mode: str = "fc"               # "fc" | "ic" (inverse compositional:
                                          # constant ref-side J, ~3x less
                                          # sampling per LM iteration)
@@ -155,6 +159,14 @@ class LoopClosureConfig:
     match_ratio: float = 0.80
     pnp_threshold_px: float = 8.0
     pnp_min_inliers: int = 20
+    # Loose-threshold safety gates (see map.loop_closure.LoopConfig): a
+    # match-inlier-ratio floor plus a reverse-PnP mutual-consistency check
+    # so the relaxed 8 px gate cannot admit a geometrically-consistent
+    # false loop on scenes unlike the eval sequence.
+    min_inlier_ratio: float = 0.25
+    check_reverse_pnp: bool = True
+    reverse_max_rot: float = 0.15
+    reverse_max_trans_ratio: float = 0.35
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
     max_pgo_iters: int = 30

@@ -87,6 +87,20 @@ class LoopConfig:
     # keeps the edge pose anchored to the small-residual matches.
     pnp_threshold_px: float = 8.0
     pnp_min_inliers: int = 20
+    # Loose-threshold safety gates (ADVICE r3): at 8 px a geometrically
+    # consistent FALSE match set could clear pnp_min_inliers, and one bad
+    # loop edge corrupts the whole trajectory through PGO. Two independent
+    # signals must also pass:
+    # 1. inlier ratio — false-candidate match sets verify (if at all) with
+    #    a thin inlier fraction; true revisits keep most of their matches;
+    min_inlier_ratio: float = 0.25
+    # 2. reverse-PnP consistency — solve PnP both ways (cand 3D -> cur px
+    #    and cur 3D -> cand px) and require the two relative poses to agree.
+    #    A false correspondence set that fits one direction almost never
+    #    fits its mirror image with a consistent pose.
+    check_reverse_pnp: bool = True
+    reverse_max_rot: float = 0.15          # rad
+    reverse_max_trans_ratio: float = 0.35  # of |t| (+ 0.1 m absolute floor)
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
     max_pgo_iters: int = 30
@@ -256,6 +270,13 @@ class LoopCloser:
             )
             if not bool(res.ok):
                 continue
+            n_match = int(m.valid.sum())
+            if int(res.num_inliers) < cfg.min_inlier_ratio * n_match:
+                continue  # thin inlier fraction: typical of a false match set
+            if cfg.check_reverse_pnp and not self._reverse_consistent(
+                cand, cur, m, res, key
+            ):
+                continue
             # res.T: cur camera <- cand camera  =>  T_ij (cand <- cur, world
             # chain convention of pose_graph: T_ij = T_i^-1 T_j).
             T_ij = np.linalg.inv(np.asarray(res.T, np.float32))
@@ -293,6 +314,34 @@ class LoopCloser:
             self.loop_edges.append(edge)
             return edge
         return None
+
+    def _reverse_consistent(self, cand, cur, m, res_fwd, key) -> bool:
+        """Second-geometry gate: PnP in the mirror direction (cur's stored
+        3D against cand's pixels) must produce a pose consistent with the
+        forward solve. Composing forward @ backward should be ~identity;
+        large rotation or translation disagreement flags a false loop."""
+        from ..features import pnp_from_pixels
+
+        cfg = self.config
+        res_bwd = pnp_from_pixels(
+            self.cam, cur.kp_p3d[m.idx_b], cand.kp_uv[m.idx_a],
+            m.valid, jax.random.split(key)[1],
+            threshold_px=cfg.pnp_threshold_px,
+            min_inliers=cfg.pnp_min_inliers,
+        )
+        if not bool(res_bwd.ok):
+            return False
+        # res_fwd.T: cur <- cand;  res_bwd.T: cand <- cur.
+        D = np.asarray(res_fwd.T, np.float32) @ np.asarray(
+            res_bwd.T, np.float32
+        )
+        xi = np.asarray(se3.log(jnp.asarray(D)))
+        rot_err = float(np.linalg.norm(xi[3:]))
+        trans_err = float(np.linalg.norm(xi[:3]))
+        t_norm = float(np.linalg.norm(np.asarray(res_fwd.T)[:3, 3]))
+        return rot_err <= cfg.reverse_max_rot and trans_err <= (
+            cfg.reverse_max_trans_ratio * t_norm + 0.1
+        )
 
     def update_poses(self, refined: dict[int, np.ndarray]) -> None:
         """Sync history with externally refined poses (window BA): without

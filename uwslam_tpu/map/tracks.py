@@ -193,7 +193,7 @@ class TrackGraph:
         track_order = []
         gate = obs_gate_px if obs_gate_px is not None else max_init_reproj_px
 
-        def _view_errors(X):
+        def _view_errors(X, views):
             errs = []
             for pos, _k, uv, _kp in views:
                 pc = T_cw_p[pos][:3, :3] @ X + T_cw_p[pos][:3, 3]
@@ -226,7 +226,7 @@ class TrackGraph:
                 continue
             scored = []
             for X in cands:
-                errs = _view_errors(X)
+                errs = _view_errors(X, views)
                 ok = errs <= gate
                 scored.append((int(ok.sum()), -float(np.median(errs)), X, ok))
             scored.sort(key=lambda t: (t[0], t[1]), reverse=True)

@@ -228,6 +228,16 @@ def distributed_bundle_adjust(
             cost = jax.lax.psum(cost_s, AXIS) / jnp.maximum(
                 jax.lax.psum(cost_n, AXIS), 1
             )
+            if pose_prior_weight > 0.0:
+                # The accept test below compares against new_cost from
+                # cost_at(), which includes the prior term — the old-side
+                # cost must include it too or steps are unfairly rejected
+                # once the solve moves off the initial chain (the prior
+                # would act far stronger than configured).
+                rp0 = prior_residual(s.T_cw)
+                cost = cost + 0.5 * pose_prior_weight * jnp.mean(
+                    jnp.sum(rp0 * rp0, axis=-1)
+                )
 
             eye3 = jnp.eye(3, dtype=V.dtype)
             eye6 = jnp.eye(6, dtype=U.dtype)

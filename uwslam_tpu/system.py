@@ -57,6 +57,69 @@ class FrameState:
     status: str = "ok"        # "ok" | "lost" | "relocalized"
 
 
+def _fused_prior_update(prior, T_rel, prev_pts, img0, gx0, gy0,
+                        uv_a, uv_b, good, idx_b, *, cam, blk, cap):
+    """Steady-state depth-prior refresh (jit-safe, shared by the standalone
+    _prior_core program and the pipelined megastep): photometric per-point
+    refinement + transfer, match triangulation, gauge anchoring against the
+    propagated prior, support gating, fusion, and the per-keypoint depth
+    table. Semantics identical to SlamSystem._update_prior's source list
+    1/2/3 (the wide-baseline anchor source only exists during the first
+    bootstrap_anchor_frames, handled by the fallback path)."""
+    from .tracking.depth_prior import (
+        DepthPrior,
+        fill_prior,
+        gauge_ratio,
+        prior_from_points,
+        propagate_prior,
+        triangulate_matches,
+    )
+    from .tracking.depth_refine import refine_inverse_depth, transfer_depths
+
+    H, W = cam.height, cam.width
+
+    def gated(grid, support, min_support):
+        keep = support >= min_support
+        return grid._replace(
+            weight=jnp.where(keep, grid.weight, 0.0),
+            inv_depth=jnp.where(keep, grid.inv_depth, 0.0),
+        )
+
+    prop = propagate_prior(prior, T_rel, cam)
+
+    ref = refine_inverse_depth(prev_pts, T_rel, img0, gx0, gy0, cam)
+    uv_t, z_t, ok = transfer_depths(
+        prev_pts, ref.inv_depth, ref.good, T_rel, cam
+    )
+    g1 = prior_from_points(uv_t, z_t, ok, H, W, block=blk)
+    s1 = gauge_ratio(g1, prop)
+    g1 = g1._replace(inv_depth=g1.inv_depth / s1)
+    g1 = gated(g1, jnp.sum(ref.good), 50)
+
+    tri = triangulate_matches(cam, T_rel, uv_a, uv_b, good)
+    n_tri = jnp.sum(tri.good)
+    g2 = prior_from_points(uv_b, tri.depth_b, tri.good, H, W, block=blk)
+    s2 = gauge_ratio(g2, prop)
+    g2 = g2._replace(inv_depth=g2.inv_depth / s2)
+    g2 = gated(g2, n_tri, 20)
+    kp_depth = (
+        jnp.zeros(cap, jnp.float32)
+        .at[idx_b]
+        .set(jnp.where(tri.good & (n_tri >= 20), tri.depth_b * s2, 0.0))
+    )
+
+    grids = [g1, g2, prop]
+    wsum = sum(g.weight for g in grids)
+    inv = jnp.where(
+        wsum > 0,
+        sum(g.inv_depth * g.weight for g in grids)
+        / jnp.maximum(wsum, 1e-6),
+        0.0,
+    )
+    fused = fill_prior(DepthPrior(inv_depth=inv, weight=wsum, block=blk))
+    return fused, kp_depth
+
+
 class SlamSystem:
     """Monocular (optionally RGB-D) direct SLAM pipeline."""
 
@@ -154,6 +217,23 @@ class SlamSystem:
         self._fn_match = None
         self._fn_prior_core = None
         self._fn_select_boot = None
+        # Pipelined live loop (frames in flight): ONE fused megastep program
+        # per frame + an async diagnostics readback retired one frame late,
+        # so the ~40 ms device->host round trip and the host bookkeeping
+        # overlap the NEXT frame's dispatch+compute instead of serializing
+        # into every frame (VERDICT r3 missing #2).
+        self._fn_step_plain = None
+        self._fn_step_boot = None
+        self._pipe_queue = []        # in-flight frame records (FIFO)
+        self._pipe_depth = 2         # frames in flight: the ~40 ms diag
+        #                              readback gets 2 frame periods to land
+        #                              before retirement reads it
+        self._pipe_broken = False    # lost-frame detected late: drain+resync
+        self._pipelined = False      # True while inside the async driver
+        # Left-multiplied pose corrections (window BA / loop closure / PGO)
+        # that must reach the device-side pose chain at the NEXT dispatch.
+        self._corr_pending = np.eye(4, dtype=np.float32)
+        self._corr_accum = np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------------ ingest
 
@@ -598,8 +678,10 @@ class SlamSystem:
                 kfs[i] = k._replace(T_wc=jnp.asarray(Tn))
         last_new = corrected.get(kfs[-1].frame_id)
         if last_new is not None:
-            corr = jnp.asarray(last_new) @ se3.inverse(jnp.asarray(last_old))
-            self._T_wc = se3.normalize(se3.compose(corr, self._T_wc))
+            corr = np.asarray(last_new) @ np.asarray(
+                se3.inverse(jnp.asarray(last_old))
+            )
+            self._apply_live_correction(corr)
 
     def _relocalize(self, cur_feats, pyr):
         """Try PnP against the most recent keyframes (newest first).
@@ -658,10 +740,13 @@ class SlamSystem:
 
             fcfg = self.config.features
 
+            # A shallow pyramid (e.g. --levels 2) caps detection depth.
+            n_lvls = min(fcfg.detect_levels, self.config.tracker.pyramid_levels)
+
             def fn(pyr):
                 kps = detect_multiscale(
                     pyr.grad_x, pyr.grad_y,
-                    per_level=fcfg.per_level, levels=fcfg.detect_levels,
+                    per_level=fcfg.per_level, levels=n_lvls,
                 )
                 desc = describe(pyr.images, kps.uv, kps.level, kps.valid)
                 return kps, desc
@@ -712,81 +797,17 @@ class SlamSystem:
         during the first bootstrap_anchor_frames, handled by the fallback
         path)."""
         if self._fn_prior_core is None:
-            from .tracking.depth_prior import (
-                DepthPrior,
-                fill_prior,
-                gauge_ratio,
-                prior_from_points,
-                propagate_prior,
-                triangulate_matches,
-            )
-            from .tracking.depth_refine import (
-                refine_inverse_depth,
-                transfer_depths,
-            )
+            from functools import partial
 
-            cam = self.cam
-            blk = self.config.tracker.bootstrap_block
-            H, W = cam.height, cam.width
             fcfg = self.config.features
-            cap = fcfg.per_level * fcfg.detect_levels
-
-            def gated(grid, support, min_support):
-                keep = support >= min_support
-                return grid._replace(
-                    weight=jnp.where(keep, grid.weight, 0.0),
-                    inv_depth=jnp.where(keep, grid.inv_depth, 0.0),
+            self._fn_prior_core = jax.jit(
+                partial(
+                    _fused_prior_update,
+                    cam=self.cam,
+                    blk=self.config.tracker.bootstrap_block,
+                    cap=fcfg.per_level * fcfg.detect_levels,
                 )
-
-            def fn(prior, T_rel, prev_pts, img0, gx0, gy0,
-                   uv_a, uv_b, good, idx_b):
-                prop = propagate_prior(prior, T_rel, cam)
-
-                ref = refine_inverse_depth(
-                    prev_pts, T_rel, img0, gx0, gy0, cam
-                )
-                uv_t, z_t, ok = transfer_depths(
-                    prev_pts, ref.inv_depth, ref.good, T_rel, cam
-                )
-                g1 = prior_from_points(uv_t, z_t, ok, H, W, block=blk)
-                s1 = gauge_ratio(g1, prop)
-                g1 = g1._replace(inv_depth=g1.inv_depth / s1)
-                g1 = gated(g1, jnp.sum(ref.good), 50)
-
-                tri = triangulate_matches(cam, T_rel, uv_a, uv_b, good)
-                n_tri = jnp.sum(tri.good)
-                g2 = prior_from_points(
-                    uv_b, tri.depth_b, tri.good, H, W, block=blk
-                )
-                s2 = gauge_ratio(g2, prop)
-                g2 = g2._replace(inv_depth=g2.inv_depth / s2)
-                g2 = gated(g2, n_tri, 20)
-                kp_depth = (
-                    jnp.zeros(cap, jnp.float32)
-                    .at[idx_b]
-                    .set(
-                        jnp.where(
-                            tri.good & (n_tri >= 20),
-                            tri.depth_b * s2,
-                            0.0,
-                        )
-                    )
-                )
-
-                grids = [g1, g2, prop]
-                wsum = sum(g.weight for g in grids)
-                inv = jnp.where(
-                    wsum > 0,
-                    sum(g.inv_depth * g.weight for g in grids)
-                    / jnp.maximum(wsum, 1e-6),
-                    0.0,
-                )
-                fused = fill_prior(
-                    DepthPrior(inv_depth=inv, weight=wsum, block=blk)
-                )
-                return fused, kp_depth
-
-            self._fn_prior_core = jax.jit(fn)
+            )
         uv_a, uv_b, good, _, idx_b = matches
         return self._fn_prior_core(
             self._depth_prior, T_rel, prev_pts,
@@ -828,6 +849,494 @@ class SlamSystem:
         return self._fn_select_boot(
             pyr.images[0], pyr.grad_mag[0], self._depth_prior
         )
+
+    # ------------------------------------------------- pipelined live loop
+
+    def _push_correction(self, C: np.ndarray) -> None:
+        """Register a left-multiplied pose correction (window BA / loop
+        closure) for the pipelined chain: it reaches the device-side pose
+        at the NEXT dispatch, and retirement of frames dispatched before it
+        re-applies it host-side to their diagnostics poses."""
+        C = np.asarray(C, np.float32)
+        self._corr_pending = C @ self._corr_pending
+        self._corr_accum = C @ self._corr_accum
+
+    def _apply_live_correction(self, correction) -> None:
+        """Route a live-pose correction: directly in the synchronous path,
+        through the pending-correction mechanism when frames are in flight
+        (the device chain head is already past the frame being retired)."""
+        if self._pipelined:
+            # Reaches the device chain via the corr argument of the NEXT
+            # dispatch (touching _T_wc here too would double-apply), and
+            # retro-corrects in-flight frames at retirement via _corr_accum.
+            self._push_correction(np.asarray(correction))
+        else:
+            self._T_wc = se3.normalize(
+                se3.compose(jnp.asarray(correction), self._T_wc)
+            )
+
+    @staticmethod
+    def _np_inv_se3(T: np.ndarray) -> np.ndarray:
+        R = T[:3, :3]
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ T[:3, 3]
+        return out
+
+    @staticmethod
+    def _np_rel_log(T_ref: np.ndarray, T_wc: np.ndarray) -> np.ndarray:
+        """Host-side stand-in for log(T_ref^-1 T_wc) carrying the two norms
+        the keyframe policy reads (|t| and rotation angle) — numpy only, so
+        retirement never dispatches a device op."""
+        D = SlamSystem._np_inv_se3(np.asarray(T_ref, np.float32)) @ np.asarray(
+            T_wc, np.float32
+        )
+        t = D[:3, 3]
+        c = np.clip((np.trace(D[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        ang = float(np.arccos(c))
+        return np.asarray(
+            [t[0], t[1], t[2], ang, 0.0, 0.0], np.float32
+        )
+
+    def _build_step_plain(self):
+        """ONE jitted program for the whole steady-state plain frame:
+        upload -> rectify/crop -> pyramid -> coarse-to-fine LM track ->
+        speculative pose chain -> diagnostics pack -> next-frame top-K
+        point selection. The only other per-frame cost is the async
+        26-float diag readback retired one frame late."""
+        if self._fn_step_plain is None:
+            rect = self._rect_map
+            x0, y0, w, h = self._roi
+            n_levels = self.config.tracker.pyramid_levels
+            cam = self.cam
+            tcfg = self.config.tracker
+
+            def fn(img, prev_pyr, prev_pts, T_init, T_wc, T_ref, corr):
+                img = img.astype(jnp.float32)
+                if rect is not None:
+                    img = remap_bilinear(img, rect)
+                img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+                pyr = build_pyramid(img, levels=n_levels)
+                out = track(
+                    prev_pyr, pyr, prev_pts, cam,
+                    T_init=T_init,
+                    levels=tcfg.track_levels,
+                    max_iters=tcfg.max_iterations,
+                    weight_kind=tcfg.weight_kind,
+                    mode=tcfg.track_mode,
+                    affine=tcfg.affine_brightness,
+                )
+                T_rel = out.T
+                T_wc_in = se3.compose(corr, T_wc)
+                T_wc_new = se3.normalize(
+                    se3.compose(T_wc_in, se3.inverse(T_rel))
+                )
+                diag = jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [
+                                out.inliers.astype(jnp.float32),
+                                prev_pts.valid.sum().astype(jnp.float32),
+                                out.error.astype(jnp.float32),
+                                jnp.isfinite(T_rel).all().astype(
+                                    jnp.float32
+                                ),
+                            ]
+                        ),
+                        T_wc_new.reshape(-1),
+                        se3.log(
+                            se3.compose(se3.inverse(T_ref), T_wc_new)
+                        ),
+                    ]
+                )
+                pts = topk_gradient_points(
+                    pyr.images[0], pyr.grad_mag[0], cam,
+                    num_points=tcfg.num_points,
+                    mono_z=tcfg.mono_depth,
+                    block=tcfg.point_block,
+                )
+                return pyr, pts, T_rel, T_wc_new, diag
+
+            self._fn_step_plain = jax.jit(fn)
+        return self._fn_step_plain
+
+    def _build_step_boot(self):
+        """The bootstrap-steady-state megastep: plain-step stages PLUS
+        feature detect+describe, previous->current matching with F-RANSAC,
+        the fused depth-prior refresh, and prior-aware point selection —
+        one program, zero synchronous host pulls."""
+        if self._fn_step_boot is None:
+            from .features import (
+                describe,
+                detect_multiscale,
+                fundamental_ransac,
+                match_descriptors,
+            )
+            from .tracking.depth_prior import sample_prior
+
+            rect = self._rect_map
+            x0, y0, w, h = self._roi
+            n_levels = self.config.tracker.pyramid_levels
+            cam = self.cam
+            tcfg = self.config.tracker
+            fcfg = self.config.features
+            n_det = min(fcfg.detect_levels, n_levels)
+            cap = fcfg.per_level * fcfg.detect_levels
+
+            def fn(img, prev_pyr, prev_pts, prev_kp_uv, prev_desc,
+                   prev_kp_valid, prior, T_init, T_wc, T_ref, corr, key):
+                img = img.astype(jnp.float32)
+                if rect is not None:
+                    img = remap_bilinear(img, rect)
+                img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+                pyr = build_pyramid(img, levels=n_levels)
+                kps = detect_multiscale(
+                    pyr.grad_x, pyr.grad_y,
+                    per_level=fcfg.per_level, levels=n_det,
+                )
+                desc = describe(pyr.images, kps.uv, kps.level, kps.valid)
+                m = match_descriptors(
+                    prev_desc, desc, prev_kp_valid, kps.valid,
+                    ratio=fcfg.ratio,
+                )
+                uv_a = prev_kp_uv[m.idx_a]
+                uv_b = kps.uv[m.idx_b]
+                res = fundamental_ransac(
+                    uv_a, uv_b, m.valid, key,
+                    threshold=fcfg.ransac_threshold_px,
+                    num_hypotheses=fcfg.ransac_hypotheses,
+                    min_inliers=fcfg.min_matches,
+                )
+                good = m.valid & res.inliers
+
+                out = track(
+                    prev_pyr, pyr, prev_pts, cam,
+                    T_init=T_init,
+                    levels=tcfg.track_levels,
+                    max_iters=tcfg.max_iterations,
+                    weight_kind=tcfg.weight_kind,
+                    mode=tcfg.track_mode,
+                    affine=tcfg.affine_brightness,
+                )
+                T_rel = out.T
+                T_wc_in = se3.compose(corr, T_wc)
+                T_wc_new = se3.normalize(
+                    se3.compose(T_wc_in, se3.inverse(T_rel))
+                )
+                diag = jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [
+                                out.inliers.astype(jnp.float32),
+                                prev_pts.valid.sum().astype(jnp.float32),
+                                out.error.astype(jnp.float32),
+                                jnp.isfinite(T_rel).all().astype(
+                                    jnp.float32
+                                ),
+                            ]
+                        ),
+                        T_wc_new.reshape(-1),
+                        se3.log(
+                            se3.compose(se3.inverse(T_ref), T_wc_new)
+                        ),
+                    ]
+                )
+                prior_new, kp_depth = _fused_prior_update(
+                    prior, T_rel, prev_pts,
+                    pyr.images[0], pyr.grad_x[0], pyr.grad_y[0],
+                    uv_a, uv_b, good, m.idx_b,
+                    cam=cam, blk=tcfg.bootstrap_block, cap=cap,
+                )
+                pts = topk_gradient_points(
+                    pyr.images[0], pyr.grad_mag[0], cam,
+                    num_points=tcfg.num_points,
+                    mono_z=tcfg.mono_depth,
+                    block=tcfg.point_block,
+                )
+                depth = sample_prior(prior_new, pts.uv, tcfg.mono_depth)
+                pts = pts._replace(p3d=cam.unproject(pts.uv, depth))
+                return pyr, kps, desc, T_rel, T_wc_new, prior_new, \
+                    kp_depth, pts, diag
+
+            self._fn_step_boot = jax.jit(fn)
+        return self._fn_step_boot
+
+    def _can_pipeline(self, depth) -> bool:
+        """The megastep covers the two steady-state live paths: plain
+        direct tracking (no features) and bootstrap tracking with an
+        installed prior. Everything else (first frames, RGBD, the
+        bootstrap init window, features-without-bootstrap reference mode,
+        lost recovery, dense point mode) uses the synchronous path."""
+        if depth is not None or self._prev is None or self._pipe_broken:
+            return False
+        cfg = self.config
+        if cfg.tracker.point_mode == "dense":
+            return False
+        if cfg.profile:
+            return False
+        if not cfg.use_features:
+            return True
+        return (
+            cfg.tracker.depth_bootstrap
+            and self._depth_prior is not None
+            and self._boot_anchor is None
+            and not cfg.tracker.bootstrap_refine_points
+        )
+
+    def process_frame_async(
+        self,
+        image: np.ndarray,
+        depth: np.ndarray | None = None,
+        timestamp: float | None = None,
+    ) -> FrameState | None:
+        """Pipelined frame processing: dispatches this frame's fused device
+        program, then retires the PREVIOUS in-flight frame (whose async
+        diagnostics readback has been overlapping this dispatch). Returns
+        the previous frame's FrameState — i.e. results arrive one frame
+        late — or the current frame's state when the synchronous fallback
+        path ran. Call flush() after the last frame."""
+        ts = (
+            float(timestamp) if timestamp is not None
+            else float(self._frame_id)
+        )
+        if not self._can_pipeline(depth):
+            self.flush()   # retired states land in self.trajectory
+            self._pipe_broken = False
+            return self.process_frame(image, depth, timestamp)
+        self._pipelined = True
+        try:
+            self._pipe_queue.append(self._dispatch_pipelined(image, ts))
+            if len(self._pipe_queue) >= self._pipe_depth + 1:
+                return self._retire_pipelined()
+            return None
+        finally:
+            self._pipelined = False
+
+    def _dispatch_pipelined(self, image: np.ndarray, ts: float) -> dict:
+        corr = jnp.asarray(self._corr_pending)
+        self._corr_pending = np.eye(4, dtype=np.float32)
+        T_ref = self.keyframes.latest.T_wc
+        prev_pyr, prev_pts, _ = self._prev
+        if not self.config.use_features:
+            step = self._build_step_plain()
+            pyr, pts, T_rel, T_wc_new, diag = step(
+                jnp.asarray(image), prev_pyr, prev_pts,
+                self._velocity, self._T_wc, T_ref, corr,
+            )
+            feats = None
+            kp_depth = None
+            prior_new = None
+        else:
+            import jax.random as jrandom
+
+            step = self._build_step_boot()
+            kp_prev, desc_prev = self._prev_feats
+            (pyr, kps, desc, T_rel, T_wc_new, prior_new, kp_depth, pts,
+             diag) = step(
+                jnp.asarray(image), prev_pyr, prev_pts,
+                kp_prev.uv, desc_prev, kp_prev.valid,
+                self._depth_prior, self._velocity, self._T_wc, T_ref,
+                corr, jrandom.PRNGKey(self._frame_id),
+            )
+            feats = (kps, desc)
+            self._depth_prior = prior_new
+            self._kp_depth = kp_depth
+        # Start the device->host copy now; np.asarray at retirement then
+        # finds the bytes already landed (overlaps the next dispatch).
+        try:
+            diag.copy_to_host_async()
+        except Exception:
+            pass
+        # Advance the device-side chain speculatively (status "ok").
+        self._velocity = T_rel
+        self._T_wc = T_wc_new
+        self._prev = (pyr, pts, None)
+        self._prev_feats = feats
+        rec = {
+            "frame_id": self._frame_id,
+            "ts": ts,
+            "diag": diag,
+            "pyr": pyr,
+            "pts": pts,
+            "feats": feats,
+            "kp_depth": kp_depth,
+            "prior": prior_new,
+            "corr_at_dispatch": self._corr_accum.copy(),
+            "ref_kf_id": self.keyframes.latest.frame_id,
+        }
+        self._frame_id += 1
+        return rec
+
+    def _retire_pipelined(self) -> FrameState:
+        """Host bookkeeping for the oldest in-flight frame: failure gate,
+        keyframe policy (one frame late by construction), window BA / loop
+        closure hooks, trajectory append."""
+        rec = self._pipe_queue.pop(0)
+        cfg = self.config
+        if self._pipe_broken:
+            # Dispatched on a chain that later proved lost: coast on the
+            # recovered pose, ignore the garbage diagnostics.
+            T_wc_np = np.asarray(self._T_wc)
+            ref_kf = self.keyframes.latest
+            state = FrameState(
+                frame_id=rec["frame_id"],
+                timestamp=rec["ts"],
+                T_wc=T_wc_np,
+                tracked_inliers=0,
+                track_error=float("nan"),
+                is_keyframe=False,
+                ref_kf_id=ref_kf.frame_id,
+                T_kf_frame=self._np_inv_se3(
+                    np.asarray(self._kf_poses[ref_kf.frame_id], np.float32)
+                ) @ T_wc_np,
+                status="lost",
+            )
+            self.trajectory.append(state)
+            return state
+        diag = np.asarray(rec["diag"])
+        inliers = int(diag[0])
+        capacity = int(diag[1])
+        track_error = float(diag[2])
+        pose_finite = bool(diag[3])
+        T_wc_np = diag[4:20].reshape(4, 4).copy()
+        rel_kf_log = diag[20:26]
+        # Corrections registered after this frame's dispatch apply to its
+        # pose retroactively (they reached the device chain later).
+        delta = rec["corr_at_dispatch"]
+        if not np.allclose(self._corr_accum, delta):
+            T_wc_np = (
+                self._corr_accum @ self._np_inv_se3(delta) @ T_wc_np
+            )
+        ratio = inliers / max(capacity, 1)
+
+        rcfg = cfg.reloc
+        inlier_floor = min(rcfg.min_inliers, int(0.5 * capacity))
+        lost = cfg.use_reloc and (
+            inliers < inlier_floor
+            or ratio < rcfg.min_inlier_ratio
+            or not np.isfinite(track_error)
+            or track_error > rcfg.max_error
+            or not pose_finite
+        )
+        ref_kf = self.keyframes.latest
+        if lost:
+            # Late-detected failure: the frames dispatched after this one
+            # ran on a garbage chain — drain them and resynchronize.
+            self._pipe_broken = True
+            self._depth_prior = None
+            self._kp_depth = None
+            self._boot_anchor = None
+            status = "lost"
+            reloc = None
+            if rec["feats"] is not None or rec["pyr"] is not None:
+                reloc = self._relocalize(rec["feats"], rec["pyr"])
+            if reloc is not None:
+                T_wc_dev, _, _ = reloc
+                T_wc_np = np.asarray(T_wc_dev)
+                status = "relocalized"
+            self._T_wc = jnp.asarray(T_wc_np)
+            self._velocity = jnp.eye(4)
+            state = FrameState(
+                frame_id=rec["frame_id"],
+                timestamp=rec["ts"],
+                T_wc=T_wc_np,
+                tracked_inliers=inliers,
+                track_error=track_error,
+                is_keyframe=False,
+                ref_kf_id=ref_kf.frame_id,
+                T_kf_frame=self._np_inv_se3(
+                    np.asarray(self._kf_poses[ref_kf.frame_id])
+                ) @ T_wc_np,
+                status=status,
+            )
+            self.trajectory.append(state)
+            return state
+
+        # Keyframe-policy inputs: if the ref keyframe changed since this
+        # frame's dispatch (a keyframe landed while it was in flight), the
+        # diag's rel-log is stale; recompute host-side (numpy only).
+        if rec["ref_kf_id"] != ref_kf.frame_id:
+            rel_kf_log = self._np_rel_log(
+                np.asarray(self._kf_poses[ref_kf.frame_id]), T_wc_np
+            )
+        is_kf = self.keyframes.should_insert(
+            rec["frame_id"], T_wc_np, ratio, rel_log=rel_kf_log
+        )
+        if is_kf:
+            # Stage the retired frame's device state so keyframe creation
+            # (and its depth sampling) sees THIS frame, not the in-flight
+            # chain head.
+            kp_depth_live = self._kp_depth
+            prior_live = self._depth_prior
+            if rec["kp_depth"] is not None:
+                self._kp_depth = rec["kp_depth"]
+            if rec["prior"] is not None:
+                self._depth_prior = rec["prior"]
+            T_wc_saved = self._T_wc
+            fid_saved = self._frame_id
+            self._T_wc = jnp.asarray(T_wc_np)
+            self._frame_id = rec["frame_id"]
+            kf = self._make_keyframe(
+                rec["ts"], rec["pyr"], rec["pts"], rec["feats"], None
+            )
+            self._T_wc = T_wc_saved
+            self._frame_id = fid_saved
+            self._kp_depth = kp_depth_live
+            self._depth_prior = prior_live
+            prev_kf = self.keyframes.latest
+            self.keyframes.insert(kf)
+            self._kf_poses[kf.frame_id] = T_wc_np.copy()
+            self._on_new_keyframe(kf)
+            ba_ready = cfg.use_ba and prev_kf is not None and (
+                cfg.ba.photometric or prev_kf.kp_desc is not None
+            )
+            if ba_ready:
+                if not cfg.ba.photometric:
+                    self._extend_tracks(prev_kf, kf)
+                self._kf_since_ba += 1
+                if self._kf_since_ba >= cfg.ba.run_every_n_keyframes:
+                    self._run_window_ba()
+                    self._kf_since_ba = 0
+            ref_kf = self.keyframes.latest
+        T_kf_frame = self._np_inv_se3(
+            np.asarray(self._kf_poses[ref_kf.frame_id], np.float32)
+        ) @ T_wc_np
+        state = FrameState(
+            frame_id=rec["frame_id"],
+            timestamp=rec["ts"],
+            T_wc=T_wc_np,
+            tracked_inliers=inliers,
+            track_error=track_error,
+            is_keyframe=is_kf,
+            ref_kf_id=ref_kf.frame_id,
+            T_kf_frame=T_kf_frame,
+            status="ok",
+        )
+        self.trajectory.append(state)
+        return state
+
+    def flush(self) -> FrameState | None:
+        """Retire any in-flight frame (call after the last dataset frame,
+        or before a synchronous-path fallback)."""
+        if not self._pipe_queue:
+            self._drain_pending_correction()
+            return None
+        self._pipelined = True
+        try:
+            state = None
+            while self._pipe_queue:
+                state = self._retire_pipelined()
+            return state
+        finally:
+            self._pipelined = False
+            self._drain_pending_correction()
+
+    def _drain_pending_correction(self) -> None:
+        if not np.allclose(self._corr_pending, np.eye(4)):
+            self._T_wc = se3.normalize(
+                se3.compose(jnp.asarray(self._corr_pending), self._T_wc)
+            )
+            self._corr_pending = np.eye(4, dtype=np.float32)
 
     def _feature_points(self, prev, cur, depth_image):
         """Match previous->current features (ratio+symmetry+RANSAC) and build
@@ -1194,8 +1703,10 @@ class SlamSystem:
                 {k.frame_id: np.asarray(T_new_wc[i])
                  for i, k in enumerate(kfs)}
             )
-        correction = se3.compose(T_new_wc[-1], se3.inverse(last_old))
-        self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
+        correction = np.asarray(
+            se3.compose(T_new_wc[-1], se3.inverse(last_old))
+        )
+        self._apply_live_correction(correction)
 
     def _run_window_ba(self):
         """Sliding-window bundle adjustment over the keyframe window
@@ -1260,8 +1771,10 @@ class SlamSystem:
                 {k.frame_id: np.asarray(T_new_wc[i])
                  for i, k in enumerate(kfs)}
             )
-        correction = se3.compose(T_new_wc[-1], se3.inverse(last_old))
-        self._T_wc = se3.normalize(se3.compose(correction, self._T_wc))
+        correction = np.asarray(
+            se3.compose(T_new_wc[-1], se3.inverse(last_old))
+        )
+        self._apply_live_correction(correction)
 
     # ------------------------------------------------------- global distributed BA
 

@@ -39,7 +39,7 @@ from ..image.pyramid import (
 from ..lie import se3, so3
 from ..utils.precision import HIGHEST
 from .points import TrackPoints
-from .robust import WeightKind, weights
+from .robust import WeightKind, robust_cost, weights
 
 
 def _env_flag(name: str) -> bool:
@@ -240,9 +240,6 @@ class _LMState(NamedTuple):
     n_inlier: jax.Array
 
 
-def _mean_robust_error(r, w, valid):
-    n = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(w * r * r) / n
 
 
 def _affine_residual(r, ref_intensity, ab, valid):
@@ -318,8 +315,7 @@ def lm_level(
 
     r0, J0, valid0 = eval_at(T0, ab0)
     sigma0 = mad_sigma(r0, valid0)
-    w0 = weights(r0, valid0, weight_kind, sigma=sigma0)
-    err0 = _mean_robust_error(r0, w0, valid0)
+    err0 = robust_cost(r0, valid0, weight_kind, sigma=sigma0)
 
     def solve_from(r, J, valid, lam):
         # Tukey hard-rejects beyond b*sigma, so its scale must track the
@@ -348,10 +344,13 @@ def lm_level(
         return (~s.done) & (s.k < max_iters)
 
     def body(s: _LMState):
-        # One pass: evaluate the current candidate.
+        # One pass: evaluate the current candidate. The accept metric is
+        # the rho objective (robust_cost), NOT the IRLS surrogate
+        # sum(w r^2): for redescending Tukey the surrogate rewards steps
+        # that eject points past the rejection threshold (w -> 0 zeroes
+        # their cost), which walked tracking into biased poses.
         r, J, valid = eval_at(s.T, s.ab)
-        w = weights(r, valid, weight_kind, sigma=sigma0)
-        err = _mean_robust_error(r, w, valid)
+        err = robust_cost(r, valid, weight_kind, sigma=sigma0)
 
         accept = (err < s.error) & jnp.isfinite(err)
         T_base = jnp.where(accept, s.T, s.T_best)
@@ -477,10 +476,10 @@ def lm_level_ic(
     sigma0 = mad_sigma(r0, valid0)
 
     def eval_err(r, valid):
-        w = weights(r, valid, weight_kind, sigma=sigma0)
-        return w, _mean_robust_error(r, w, valid)
+        # rho objective (see lm_level): valid for redescending kernels.
+        return robust_cost(r, valid, weight_kind, sigma=sigma0)
 
-    w0, err0 = eval_err(r0, valid0)
+    err0 = eval_err(r0, valid0)
 
     def solve_from(r, valid, lam):
         sig = (
@@ -519,7 +518,7 @@ def lm_level_ic(
 
     def body(s: S):
         r, valid = sample_target(s.T, s.ab)
-        w, err = eval_err(r, valid)
+        err = eval_err(r, valid)
         accept = (err < s.error) & jnp.isfinite(err)
         T_base = jnp.where(accept, s.T, s.T_best)
         ab_base = jnp.where(accept, s.ab, s.ab_best)

