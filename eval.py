@@ -333,14 +333,18 @@ def main() -> int:
                     help="round number for the RESULTS_r<N>.json filename")
     ap.add_argument("--quick", action="store_true",
                     help="shorter sequences (smoke-test the harness)")
-    ap.add_argument("--configs", default="0,1,2,3,4,5,6,7",
+    ap.add_argument("--configs", default="0,1,2,3,4,5,6,7,8,9,10",
                     help="comma-separated subset to run")
     args = ap.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 
     n_tum = 60 if args.quick else 150
     n_euroc = 50 if args.quick else 120
-    n_long = 80 if args.quick else 240
+    # Round 4 (VERDICT r3 missing #3): the long sequence is now
+    # distribution-worthy — 640 frames, denser keyframing (--kf-max-gap),
+    # so the global BA sees >=50 keyframes / thousands of landmarks /
+    # >=10^4 observations instead of a toy 13-kf problem.
+    n_long = 80 if args.quick else 640
     # The long sequence retraces its first loop_period frames exactly
     # (frames loop_period..n revisit 0..n-loop_period) — a true revisit for
     # the loop-closure stage.
@@ -369,7 +373,7 @@ def main() -> int:
     long_args = ["-d", tum_long["rgb"], "-c", tum_long["calib"],
                  "--tum-gt", tum_long["gt"], "--levels", "4",
                  "--mono-depth", "2.5", "--features", "--ba",
-                 "--depth-bootstrap",
+                 "--depth-bootstrap", "--kf-max-gap", "10",
                  "--platform", "cpu", "--host-devices", "8"]
 
     configs = {
@@ -450,6 +454,33 @@ def main() -> int:
             "dataset": "tum_long (same frames as config 5)",
             "args": long_args + ["--dist-ba"],
         },
+        8: {
+            "name": "EUROC MH01 REFERENCE-SEMANTICS anchor",
+            "baseline": "reference active pipeline on the EUROC scene "
+                        "(rectification + level-0 GN, identity weights, "
+                        "z=1) — the parity bar for config 3",
+            "dataset": "euroc_mh01 (same frames as config 3)",
+            "args": ["-d", mh01["root"], "--euroc", "-c", mh01["calib"],
+                     "--euroc-gt", mh01["gt"], "--reference-mode"],
+        },
+        9: {
+            "name": "EUROC V101 REFERENCE-SEMANTICS anchor",
+            "baseline": "reference active pipeline on the EUROC V101 scene "
+                        "— the parity bar for config 4",
+            "dataset": "euroc_v101 (same frames as config 4)",
+            "args": ["-d", v101["root"], "--euroc", "-c", v101["calib"],
+                     "--euroc-gt", v101["gt"], "--reference-mode"],
+        },
+        10: {
+            "name": "ABLATION of 4: no window BA",
+            "baseline": "config 4 minus --ba — the window-BA ATE delta "
+                        "(VERDICT r3 missing #4)",
+            "dataset": "euroc_v101 (same frames as config 4)",
+            "args": ["-d", v101["root"], "--euroc", "-c", v101["calib"],
+                     "--euroc-gt", v101["gt"], "--levels", "5",
+                     "--mono-depth", "2.5", "--features",
+                     "--depth-bootstrap"],
+        },
     }
 
     results = {}
@@ -497,6 +528,30 @@ def main() -> int:
         _check(results["5"].get("loop_edges", 0) > 0,
                "config 5: no loop-closure edges accepted on the revisit "
                "trajectory")
+    r5 = results.get("5")
+    if r5 is not None and r5.get("rc") == 0 and not args.quick:
+        _check(r5.get("dist_ba_keyframes", 0) >= 50,
+               f"config 5: only {r5.get('dist_ba_keyframes', 0)} keyframes "
+               "in the global BA (needs >= 50: distribution-worthy scale)")
+        _check(r5.get("dist_ba_landmarks", 0) >= 3000,
+               f"config 5: only {r5.get('dist_ba_landmarks', 0)} landmarks "
+               "(needs >= 3000)")
+        _check(r5.get("dist_ba_obs", 0) >= 10000,
+               f"config 5: only {r5.get('dist_ba_obs', 0)} observations "
+               "(needs >= 10^4)")
+    a4 = results.get("4", {}).get("ate_rmse_m")
+    a10 = results.get("10", {}).get("ate_rmse_m")
+    if a4 is not None and a10 is not None:
+        _check(a4 < a10,
+               f"config 4 ATE ({a4}) not better than its no-window-BA "
+               f"ablation ({a10}) — window BA does not earn its cost")
+    for cfg_i, anchor_i in (("3", "8"), ("4", "9")):
+        ai = results.get(cfg_i, {}).get("ate_rmse_m")
+        aa = results.get(anchor_i, {}).get("ate_rmse_m")
+        if ai is not None and aa is not None:
+            _check(ai < aa,
+                   f"config {cfg_i} ATE ({ai}) does not beat its EUROC "
+                   f"reference anchor (config {anchor_i}: {aa})")
     # Parity bar (VERDICT r3 missing #1): the framework's own default
     # configs must BEAT the measured reference-semantics anchor on the
     # same frames, or "matching-or-beating the reference" is unmet.

@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "implies --features)")
     p.add_argument("--num-points", type=int, default=2048,
                    help="tracked point budget per frame")
+    p.add_argument("--kf-min-gap", type=int, default=3,
+                   help="minimum frames between keyframes")
+    p.add_argument("--kf-max-gap", type=int, default=30,
+                   help="maximum frames between keyframes (lower = denser "
+                        "keyframe map, e.g. for global distributed BA at "
+                        "scale)")
     p.add_argument("--viz-port", type=int, default=None,
                    help="serve a live trajectory view on this HTTP port "
                         "(the reference's Rviz stream, without ROS)")
@@ -285,7 +291,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from .. import camera
-    from ..config import SlamConfig, TrackerConfig
+    from ..config import KeyframeConfig, SlamConfig, TrackerConfig
     from ..io import (
         FramePrefetcher,
         associate,
@@ -317,6 +323,9 @@ def main(argv=None) -> int:
             track_mode=args.track_mode,
             affine_brightness=args.affine,
             depth_bootstrap=args.depth_bootstrap,
+        ),
+        keyframes=KeyframeConfig(
+            min_gap=args.kf_min_gap, max_gap=args.kf_max_gap
         ),
         use_features=args.features or args.depth_bootstrap or args.dist_ba,
         use_ba=args.ba or args.photo_ba,
@@ -399,7 +408,6 @@ def main(argv=None) -> int:
         from ..utils.profiling import trace
 
         stack.enter_context(trace(args.trace))
-    prefetcher = FramePrefetcher(seq)
     # Steady-state timer: XLA compiles land in the first few frames (pyramid,
     # track, select, plus keyframe/BA shapes); frames after `warmup` measure
     # what the live loop actually sustains (VERDICT r2 missing #3).
@@ -407,9 +415,18 @@ def main(argv=None) -> int:
     t_warm = None
     # Pipelined by default: frames in flight with async diag readback
     # (results one frame late). --no-pipeline / --profile force the
-    # synchronous path (per-stage timers need fenced stages).
+    # synchronous path (per-stage timers need fenced stages). The pipelined
+    # loop also uploads each frame to the device one frame ahead
+    # (DeviceFramePrefetcher) so the H2D transfer overlaps the previous
+    # frame's fused step.
     pipelined = not (args.no_pipeline or args.profile)
     step = system.process_frame_async if pipelined else system.process_frame
+    if pipelined:
+        from ..io import DeviceFramePrefetcher
+
+        prefetcher = DeviceFramePrefetcher(seq)
+    else:
+        prefetcher = FramePrefetcher(seq)
     for i, (img, depth) in prefetcher:
         if i >= n:
             break

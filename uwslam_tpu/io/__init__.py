@@ -1,5 +1,6 @@
 """Dataset readers, trajectory I/O, and evaluation metrics."""
 from .dataset import (
+    DeviceFramePrefetcher,
     FramePrefetcher,
     Sequence,
     list_images,
@@ -22,6 +23,7 @@ from .trajectory import (
 
 __all__ = [
     "Sequence",
+    "DeviceFramePrefetcher",
     "FramePrefetcher",
     "list_images",
     "open_tum",

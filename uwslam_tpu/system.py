@@ -225,9 +225,14 @@ class SlamSystem:
         self._fn_step_plain = None
         self._fn_step_boot = None
         self._pipe_queue = []        # in-flight frame records (FIFO)
-        self._pipe_depth = 2         # frames in flight: the ~40 ms diag
-        #                              readback gets 2 frame periods to land
-        #                              before retirement reads it
+        self._pipe_batch = 4         # frames retired per diagnostics pull:
+        #                              each device->host read is one ~30 ms
+        #                              RTT through the remote tunnel, so B
+        #                              diag vectors are stacked device-side
+        #                              and pulled as ONE (B, 26) transfer,
+        #                              hinted a frame ahead of the read
+        self._pipe_ready = None      # (stacked diag handle, [recs]) in copy
+        self._fn_stack_diags = None
         self._pipe_broken = False    # lost-frame detected late: drain+resync
         self._pipelined = False      # True while inside the async driver
         # Left-multiplied pose corrections (window BA / loop closure / PGO)
@@ -1106,9 +1111,32 @@ class SlamSystem:
         self._pipelined = True
         try:
             self._pipe_queue.append(self._dispatch_pipelined(image, ts))
-            if len(self._pipe_queue) >= self._pipe_depth + 1:
-                return self._retire_pipelined()
-            return None
+            state = None
+            if self._pipe_ready is not None:
+                # The batch staged last call: its transfer has had a full
+                # frame period to land — the read is ~free.
+                stacked, recs = self._pipe_ready
+                self._pipe_ready = None
+                rows = np.asarray(stacked)
+                for k, rec in enumerate(recs):
+                    state = self._retire_pipelined(rec, rows[k])
+            if (
+                self._pipe_ready is None
+                and len(self._pipe_queue) > self._pipe_batch
+            ):
+                recs = self._pipe_queue[: self._pipe_batch]
+                del self._pipe_queue[: self._pipe_batch]
+                if self._fn_stack_diags is None:
+                    self._fn_stack_diags = jax.jit(
+                        lambda *a: jnp.stack(a)
+                    )
+                stacked = self._fn_stack_diags(*[r["diag"] for r in recs])
+                try:
+                    stacked.copy_to_host_async()
+                except Exception:
+                    pass
+                self._pipe_ready = (stacked, recs)
+            return state
         finally:
             self._pipelined = False
 
@@ -1141,12 +1169,6 @@ class SlamSystem:
             feats = (kps, desc)
             self._depth_prior = prior_new
             self._kp_depth = kp_depth
-        # Start the device->host copy now; np.asarray at retirement then
-        # finds the bytes already landed (overlaps the next dispatch).
-        try:
-            diag.copy_to_host_async()
-        except Exception:
-            pass
         # Advance the device-side chain speculatively (status "ok").
         self._velocity = T_rel
         self._T_wc = T_wc_new
@@ -1167,11 +1189,12 @@ class SlamSystem:
         self._frame_id += 1
         return rec
 
-    def _retire_pipelined(self) -> FrameState:
-        """Host bookkeeping for the oldest in-flight frame: failure gate,
-        keyframe policy (one frame late by construction), window BA / loop
+    def _retire_pipelined(self, rec=None, diag_row=None) -> FrameState:
+        """Host bookkeeping for one in-flight frame: failure gate, keyframe
+        policy (a few frames late by construction), window BA / loop
         closure hooks, trajectory append."""
-        rec = self._pipe_queue.pop(0)
+        if rec is None:
+            rec = self._pipe_queue.pop(0)
         cfg = self.config
         if self._pipe_broken:
             # Dispatched on a chain that later proved lost: coast on the
@@ -1193,7 +1216,7 @@ class SlamSystem:
             )
             self.trajectory.append(state)
             return state
-        diag = np.asarray(rec["diag"])
+        diag = diag_row if diag_row is not None else np.asarray(rec["diag"])
         inliers = int(diag[0])
         capacity = int(diag[1])
         track_error = float(diag[2])
@@ -1318,12 +1341,18 @@ class SlamSystem:
     def flush(self) -> FrameState | None:
         """Retire any in-flight frame (call after the last dataset frame,
         or before a synchronous-path fallback)."""
-        if not self._pipe_queue:
+        if not self._pipe_queue and self._pipe_ready is None:
             self._drain_pending_correction()
             return None
         self._pipelined = True
         try:
             state = None
+            if self._pipe_ready is not None:
+                stacked, recs = self._pipe_ready
+                self._pipe_ready = None
+                rows = np.asarray(stacked)
+                for k, rec in enumerate(recs):
+                    state = self._retire_pipelined(rec, rows[k])
             while self._pipe_queue:
                 state = self._retire_pipelined()
             return state
