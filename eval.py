@@ -196,6 +196,48 @@ def make_tum_dataset(root: str, n_frames: int, seed: int = 0,
             "rgb": os.path.join(root, "rgb")}
 
 
+def real_datasets(root: str):
+    """Real TUM/EUROC downloads in scripts/fetch_tum_euroc.sh's layout.
+
+    Reference calibrations are written next to each sequence if absent
+    (TUM: 640x480 fx=fy=525 no distortion, calibrationTUM.xml:7-21;
+    EUROC: the real cam0 radtan coefficients, calibrationEUROC.xml:7-28)."""
+
+    def tum(dirname):
+        d = os.path.join(root, dirname)
+        calib = os.path.join(d, "calib.xml")
+        if os.path.isdir(d) and not os.path.exists(calib):
+            _write_tum_calib(calib, 525.0, 525.0, 319.5, 239.5, 640, 480)
+        return {"root": d, "gt": os.path.join(d, "groundtruth.txt"),
+                "calib": calib, "rgb": os.path.join(d, "rgb")}
+
+    def euroc(dirname):
+        d = os.path.join(root, dirname)
+        mav = os.path.join(d, "mav0")
+        calib = os.path.join(d, "calib.xml")
+        if os.path.isdir(d) and not os.path.exists(calib):
+            _write_tum_calib(
+                calib, 458.654, 457.296, 367.215, 248.375, 752, 480,
+                dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+                out_w=736, out_h=480,
+            )
+        return {
+            "root": mav,
+            "gt": os.path.join(
+                mav, "state_groundtruth_estimate0", "data.csv"
+            ),
+            "calib": calib,
+        }
+
+    sets = (tum("tum_seq01"), tum("tum_long"),
+            euroc("euroc_mh01"), euroc("euroc_v101"))
+    missing = [t["root"] for t in sets if not os.path.isdir(t["root"])]
+    if missing:
+        print("WARNING: missing real sequences (run "
+              f"scripts/fetch_tum_euroc.sh): {missing}", file=sys.stderr)
+    return sets
+
+
 def make_euroc_dataset(root: str, n_frames: int, kind: str = "euroc_mh",
                        seed: int = 1, noise_sigma: float = 1.5) -> dict:
     """EUROC-format: 752x480 with radtan distortion (reference
@@ -335,6 +377,10 @@ def main() -> int:
                     help="shorter sequences (smoke-test the harness)")
     ap.add_argument("--configs", default="0,1,2,3,4,5,6,7,8,9,10",
                     help="comma-separated subset to run")
+    ap.add_argument("--real", default=None, metavar="ROOT",
+                    help="run the table on REAL TUM/EUROC downloads under "
+                         "ROOT (layout of scripts/fetch_tum_euroc.sh) "
+                         "instead of the synthetic stand-ins")
     args = ap.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 
@@ -350,25 +396,29 @@ def main() -> int:
     # the loop-closure stage.
     loop_period = 56 if args.quick else 160
 
-    print("generating datasets...", flush=True)
-    # Dataset roots carry the frame count: a cached quick (60-frame) dataset
-    # must never masquerade as the full one (VERDICT r2 missing #2 — the r2
-    # table silently reported the quick smoke run).
-    tum = make_tum_dataset(
-        os.path.join(DATA_ROOT, f"tum_seq01_{n_tum}"), n_tum
-    )
-    tum_long = make_tum_dataset(
-        os.path.join(DATA_ROOT, f"tum_long_{n_long}"), n_long, seed=4,
-        loop_period=loop_period,
-    )
-    mh01 = make_euroc_dataset(
-        os.path.join(DATA_ROOT, f"euroc_mh01_{n_euroc}"), n_euroc,
-        kind="euroc_mh",
-    )
-    v101 = make_euroc_dataset(
-        os.path.join(DATA_ROOT, f"euroc_v101_{n_euroc}"), n_euroc,
-        kind="euroc_v1", seed=2,
-    )
+    if args.real:
+        print(f"using real datasets under {args.real}", flush=True)
+        tum, tum_long, mh01, v101 = real_datasets(args.real)
+    else:
+        print("generating datasets...", flush=True)
+        # Dataset roots carry the frame count: a cached quick (60-frame)
+        # dataset must never masquerade as the full one (VERDICT r2 missing
+        # #2 — the r2 table silently reported the quick smoke run).
+        tum = make_tum_dataset(
+            os.path.join(DATA_ROOT, f"tum_seq01_{n_tum}"), n_tum
+        )
+        tum_long = make_tum_dataset(
+            os.path.join(DATA_ROOT, f"tum_long_{n_long}"), n_long, seed=4,
+            loop_period=loop_period,
+        )
+        mh01 = make_euroc_dataset(
+            os.path.join(DATA_ROOT, f"euroc_mh01_{n_euroc}"), n_euroc,
+            kind="euroc_mh",
+        )
+        v101 = make_euroc_dataset(
+            os.path.join(DATA_ROOT, f"euroc_v101_{n_euroc}"), n_euroc,
+            kind="euroc_v1", seed=2,
+        )
 
     long_args = ["-d", tum_long["rgb"], "-c", tum_long["calib"],
                  "--tum-gt", tum_long["gt"], "--levels", "4",

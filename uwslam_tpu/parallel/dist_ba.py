@@ -144,7 +144,7 @@ def _local_normal_eq(T_cw, pts_local, obs_kf, obs_lm_local, obs_uv, obs_valid,
     jax.jit,
     static_argnames=(
         "cam", "mesh", "max_iters", "fix_first_pose", "num_fixed_poses",
-        "pose_prior_weight",
+        "pose_prior_weight", "full_budget",
     ),
 )
 def distributed_bundle_adjust(
@@ -157,6 +157,7 @@ def distributed_bundle_adjust(
     fix_first_pose: bool = True,
     num_fixed_poses: int = 1,
     pose_prior_weight: float = 0.0,
+    full_budget: bool = False,
 ) -> BAResult:
     """LM bundle adjustment with landmarks sharded over mesh axis `lm`.
 
@@ -291,7 +292,11 @@ def distributed_bundle_adjust(
                 lam=jnp.where(accept, s.lam * 0.3, s.lam * 5.0).clip(1e-9, 1e6),
                 cost=jnp.where(accept, new_cost, cost),
                 k=s.k + 1,
-                done=(accept & (jnp.sqrt(step_sq) < 1e-6)) | (s.lam > 1e5),
+                # full_budget: run exactly max_iters (benchmarks need
+                # like-for-like iteration counts across device counts).
+                done=jnp.asarray(False) if full_budget else (
+                    (accept & (jnp.sqrt(step_sq) < 1e-6)) | (s.lam > 1e5)
+                ),
             )
 
         c0 = cost_at(T_cw, pts_local)
