@@ -1,5 +1,5 @@
 # Developer entry points. `make test` mirrors the CI/driver invocation.
-.PHONY: test test-fast bench micro scaling eval native install
+.PHONY: test test-fast bench micro scaling eval readme native install
 
 # Test budget (measured round 3, 2-core CPU rig): cold JAX compile cache
 # 6:51 for the full 124-test suite, ~4:30 warm — under the 8-minute budget,
@@ -14,17 +14,21 @@ test-fast:
 bench:
 	python bench.py
 
-# Per-kernel device-time receipts (TPU) -> MICRO_r03.json
+# Per-kernel device-time receipts (TPU) -> MICRO_r04.json
 micro:
-	python benchmarks/micro.py --out MICRO_r03.json
+	python benchmarks/micro.py --out MICRO_r04.json
 
-# Dist-BA scaling curve on the 8-virtual-device CPU mesh -> SCALING_r03.json
+# Dist-BA scaling curve + compute/comm breakdown (8-virtual-device CPU mesh)
 scaling:
-	python benchmarks/scaling.py --out SCALING_r03.json
+	python benchmarks/scaling.py --out SCALING_r04.json
 
-# Full staged evaluation (BASELINE configs 0-7) -> RESULTS_r03.json + RESULTS.md
+# Full staged evaluation (BASELINE configs 0-10) -> RESULTS_r04.json + RESULTS.md
 eval:
-	python eval.py --round 3
+	python eval.py --round 4
+
+# Regenerate README's Performance section from the latest artifacts
+readme:
+	python scripts/sync_readme.py
 
 native:
 	$(MAKE) -C native
