@@ -10,7 +10,9 @@ RESULTS_r<N>.json. One command reproduces the whole table:
 Dataset note (documented per VERDICT round-1 item 1): real TUM/EUROC
 sequences are NOT fetchable on this rig (no network egress), so each config
 runs on a synthetic stand-in that reproduces the dataset's format and
-difficulty profile:
+difficulty profile. On a machine WITH network access, fetch the real
+sequences with scripts/fetch_tum_euroc.sh and run `python eval.py --real
+ROOT` to produce the same table on them. Stand-in profile:
   - geometry: multi-plane occluding scenes (utils.synthetic.PlaneSpec ray
     cast) — real depth discontinuities, 1.4..5 m depth range, not the
     single fronto-parallel plane of round 1;
@@ -619,6 +621,17 @@ def main() -> int:
         results["_health"] = {"failed": health}
 
     out_json = os.path.join(REPO, f"RESULTS_r{args.round:02d}.json")
+    # Partial runs (--configs subset) merge into an existing table rather
+    # than clobbering configs they did not run.
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                if not k.startswith("_"):
+                    results.setdefault(k, v)
+        except Exception:
+            pass
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
     write_results_md(results, os.path.join(REPO, "RESULTS.md"))

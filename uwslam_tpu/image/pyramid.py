@@ -118,6 +118,41 @@ def build_pyramid(image: jax.Array, levels: int = PYRAMID_LEVELS) -> FramePyrami
 
 
 @partial(jax.jit, static_argnames=("levels",))
+def build_pyramid_batched(
+    images: jax.Array, levels: int = PYRAMID_LEVELS
+) -> FramePyramid:
+    """Batched pyramid build: (B, H, W) -> FramePyramid of (B, H_l, W_l)
+    levels. On TPU with a real batch, the per-level gradient pass runs the
+    fused Pallas kernel (ops.pallas_pyramid: one VMEM-resident pass per
+    frame produces gx/gy/|g|; 6.55 -> 4.31 ms for the 5-level b96 chunk,
+    bit-exact); otherwise identical math to vmap(build_pyramid)."""
+    from ..ops.pallas_pyramid import scharr_gradients_batched, use_pallas_scharr
+
+    B = images.shape[0]
+    imgs = [images]
+    for _ in range(levels - 1):
+        b, h, w = imgs[-1].shape
+        imgs.append(imgs[-1].reshape(b, h // 2, 2, w // 2, 2).mean(axis=(2, 4)))
+    gxs, gys, gms = [], [], []
+    for im in imgs:
+        _, H, W = im.shape
+        if use_pallas_scharr(B, H, W):
+            gx, gy, gm = scharr_gradients_batched(im)
+        else:
+            gx, gy = jax.vmap(scharr_gradients)(im)
+            gm = 0.5 * jnp.abs(gx) + 0.5 * jnp.abs(gy)
+        gxs.append(gx)
+        gys.append(gy)
+        gms.append(gm)
+    return FramePyramid(
+        images=tuple(imgs),
+        grad_x=tuple(gxs),
+        grad_y=tuple(gys),
+        grad_mag=tuple(gms),
+    )
+
+
+@partial(jax.jit, static_argnames=("levels",))
 def build_depth_pyramid(depth: jax.Array, levels: int = PYRAMID_LEVELS):
     """Depth pyramid via min-pooling-aware mean: zeros (invalid) are excluded
     from the average so borders of missing depth don't bleed.

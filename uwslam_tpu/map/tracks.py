@@ -295,6 +295,8 @@ def _triangulate_views_np(views, T_cw, cam: PinholeCamera) -> np.ndarray | None:
         rows.append(x * P[2] - P[0])
         rows.append(y * P[2] - P[1])
     A = np.stack(rows)
+    if not np.isfinite(A).all():
+        return None
     try:
         _, _, Vt = np.linalg.svd(A)
     except np.linalg.LinAlgError:
@@ -326,7 +328,16 @@ def _triangulate_np(
             xb[1] * Pb[2] - Pb[1],
         ]
     )
-    _, _, Vt = np.linalg.svd(A)
+    # LAPACK's iterative SVD can refuse to converge on degenerate/ill-scaled
+    # systems (observed once on the 640-frame eval mid-session, killing the
+    # whole run from inside window BA); a failed landmark init must degrade
+    # to "no landmark", never to an exception.
+    if not np.isfinite(A).all():
+        return np.full(3, np.nan, np.float32)
+    try:
+        _, _, Vt = np.linalg.svd(A)
+    except np.linalg.LinAlgError:
+        return np.full(3, np.nan, np.float32)
     X = Vt[-1]
     if abs(X[3]) < 1e-12:
         return np.full(3, np.nan, np.float32)

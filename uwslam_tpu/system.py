@@ -1879,12 +1879,14 @@ class SlamSystem:
             )
             return int(good.sum())
 
-        # Match each keyframe against its 3 predecessors (not just the
+        # Match each keyframe against its 5 predecessors (not just the
         # adjacent one): skip pairs extend tracks across keyframes where a
         # keypoint missed detection, and give the graph wide-baseline
-        # observations that actually constrain depth.
+        # observations that actually constrain depth. (3 predecessors left
+        # the 640-frame / ~100-keyframe map at 2.5k landmarks / 8k
+        # observations — under the >=3k/>=10^4 distribution-worthy floor.)
         for ib in range(1, len(hist)):
-            for ia in range(max(0, ib - 3), ib):
+            for ia in range(max(0, ib - 5), ib):
                 _match_pair(hist[ia], hist[ib])
         # Cross-loop pairs: tracks joining the two passes of a verified
         # revisit are the strongest global constraints the map has — without

@@ -132,19 +132,25 @@ def track_sequence_batched(
     mapping frame-i coordinates to frame-i+1 coordinates.
     """
 
-    def ingest(img, depth_img):
-        pyr = build_pyramid(img, levels=levels)
-        pts = topk_gradient_points(
-            pyr.images[0], pyr.grad_mag[0], cam,
+    from ..image.pyramid import build_pyramid_batched
+
+    # Batched pyramid (Pallas scharr on TPU — one fused VMEM pass per frame
+    # per level); selection stays vmapped per frame.
+    pyrs = build_pyramid_batched(frames, levels=levels)
+
+    def select(img0, gmag0, depth_img):
+        return topk_gradient_points(
+            img0, gmag0, cam,
             depth_image=depth_img, num_points=num_points,
             mono_z=mono_z, block=block,
         )
-        return pyr, pts
 
     if depth_frames is not None:
-        pyrs, pts = jax.vmap(ingest)(frames, depth_frames)
+        pts = jax.vmap(select)(pyrs.images[0], pyrs.grad_mag[0], depth_frames)
     else:
-        pyrs, pts = jax.vmap(lambda f: ingest(f, None))(frames)
+        pts = jax.vmap(lambda i, g: select(i, g, None))(
+            pyrs.images[0], pyrs.grad_mag[0]
+        )
 
     ref_pyr = jax.tree.map(lambda x: x[:-1], pyrs)
     tgt_pyr = jax.tree.map(lambda x: x[1:], pyrs)
