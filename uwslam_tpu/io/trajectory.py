@@ -155,6 +155,21 @@ def ate_rmse(
     est = np.asarray(est_positions, np.float64)
     gt = np.asarray(gt_positions, np.float64)
     assert est.shape == gt.shape
+    finite = np.isfinite(est).all(axis=1) & np.isfinite(gt).all(axis=1)
+    if not finite.all():
+        # A non-finite pose must not kill the whole evaluation (LAPACK's
+        # SVD refuses to converge on a NaN covariance) — but it must be
+        # LOUD: the ATE is computed over the finite subset and the drop
+        # count reported.
+        import sys
+
+        print(
+            f"WARNING: ate_rmse dropping {int((~finite).sum())}/{len(est)} "
+            "non-finite pose pairs",
+            file=sys.stderr,
+        )
+        est = est[finite]
+        gt = gt[finite]
     if align and len(est) >= 3:
         s, R, t = umeyama_alignment(est, gt, with_scale)
         est = (s * (R @ est.T)).T + t

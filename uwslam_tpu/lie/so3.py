@@ -176,7 +176,17 @@ def normalize(R: jax.Array) -> jax.Array:
 
     Uses the quaternion-free Cayley/SVD-lite iteration: two Newton steps of
     R <- R (3I - R^T R)/2, adequate for f32 drift from compounding matmuls.
-    """
+
+    The Newton iteration DIVERGES (cubically!) when any singular value
+    exceeds sqrt(3) — e.g. when a residual Sim(3) scale sneaks into an
+    SE(3) slot — so the input is first de-scaled by its Frobenius-based
+    scale estimate (||sR||_F = s*sqrt(3) for a scaled rotation): exact for
+    scaled rotations, a no-op for unit ones, and it turns the divergence
+    mode into a correct re-normalization."""
+    fro = jnp.sqrt(
+        jnp.sum(R * R, axis=(-2, -1), keepdims=True) / 3.0
+    )
+    R = R / jnp.maximum(fro, 1e-12)
     for _ in range(2):
         RtR = _mm(jnp.swapaxes(R, -1, -2), R)
         eye3 = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), RtR.shape)

@@ -432,6 +432,25 @@ class LoopCloser:
         ):
             return {}
         S_new = np.asarray(out.T_wc)
+        scales_ok = True
+        if cfg.use_sim3:
+            sc = np.asarray(
+                [float(np.asarray(sim3.scale(jnp.asarray(S_new[k]))))
+                 for k in range(M)]
+            )
+            scales_ok = bool(
+                np.isfinite(sc).all() and (sc > 1e-3).all() and (sc < 1e3).all()
+            )
+        if not (np.isfinite(S_new[:M]).all() and scales_ok):
+            # PGO produced non-finite poses or degenerate node scales
+            # (observed on a 640-frame 4-revisit sequence with many stacked
+            # Sim(3) edges): REJECT the correction — a NaN here would poison
+            # every keyframe pose and the exported trajectory — and drop the
+            # newest loop edge so the next optimization isn't re-broken by
+            # the same constraint.
+            if self.loop_edges:
+                self.loop_edges.pop()
+            return {}
         corrected = {}
         T_new = np.zeros((M, 4, 4), np.float32)
         for k, r in enumerate(self.history):

@@ -673,6 +673,8 @@ class SlamSystem:
         corrected = self._loops.optimize()
         if not corrected:
             return
+        if not all(np.isfinite(T).all() for T in corrected.values()):
+            return  # defense in depth: never apply a non-finite correction
         for fid, T in corrected.items():
             self._kf_poses[fid] = T
         kfs = self.keyframes.keyframes
@@ -1240,6 +1242,10 @@ class SlamSystem:
             or not np.isfinite(track_error)
             or track_error > rcfg.max_error
             or not pose_finite
+            # pose_finite covers T_rel; the COMPOSED chain pose can go
+            # non-finite independently (observed poisoning the tail of a
+            # 640-frame run) — catch it here so reloc resynchronizes.
+            or not np.isfinite(T_wc_np).all()
         )
         ref_kf = self.keyframes.latest
         if lost:
@@ -1257,6 +1263,15 @@ class SlamSystem:
                 T_wc_dev, _, _ = reloc
                 T_wc_np = np.asarray(T_wc_dev)
                 status = "relocalized"
+            else:
+                # Coast on the last RETIRED pose: both the chain head and
+                # this frame's diag pose are poisoned (the diag pose may be
+                # literally non-finite when pose_finite tripped the gate).
+                T_wc_np = (
+                    np.array(self.trajectory[-1].T_wc, np.float32)
+                    if self.trajectory
+                    else np.eye(4, dtype=np.float32)
+                )
             self._T_wc = jnp.asarray(T_wc_np)
             self._velocity = jnp.eye(4)
             state = FrameState(
@@ -1549,6 +1564,7 @@ class SlamSystem:
                 or not np.isfinite(track_error)
                 or track_error > rcfg.max_error
                 or not pose_finite
+                or not np.isfinite(T_wc_np).all()
             )
             status = "ok"
             if lost:
@@ -2079,12 +2095,33 @@ class SlamSystem:
         path = path or self.config.trajectory_csv
         ts = [s.timestamp for s in self.trajectory]
         poses = []
+        bad_kf, bad_rel, bad_live = 0, 0, 0
         for s in self.trajectory:
             kf_pose = self._kf_poses.get(s.ref_kf_id)
             if kf_pose is not None and s.T_kf_frame is not None:
-                poses.append(np.asarray(kf_pose @ s.T_kf_frame, np.float32))
+                p = np.asarray(kf_pose @ s.T_kf_frame, np.float32)
+                if not np.isfinite(p).all():
+                    # Attribute and fall back to the live pose — one bad
+                    # recomposition must not poison the exported file.
+                    if not np.isfinite(np.asarray(kf_pose)).all():
+                        bad_kf += 1
+                    else:
+                        bad_rel += 1
+                    p = np.asarray(s.T_wc, np.float32)
+                poses.append(p)
             else:
                 poses.append(s.T_wc)
+            if not np.isfinite(poses[-1]).all():
+                bad_live += 1
+        if bad_kf or bad_rel or bad_live:
+            import sys
+
+            print(
+                f"WARNING: export_trajectory non-finite poses — "
+                f"{bad_kf} bad keyframe poses, {bad_rel} bad relative "
+                f"poses, {bad_live} bad live fallbacks",
+                file=sys.stderr,
+            )
         poses = np.stack(poses)
         if path:
             write_trajectory_tum(path, ts, poses)
