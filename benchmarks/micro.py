@@ -118,6 +118,28 @@ def main():
             px * 3, None, "",
         ),
         (
+            "pallas_scharr_l0(b96)",
+            jax.jit(
+                lambda f: __import__(
+                    "uwslam_tpu.ops.pallas_pyramid", fromlist=["x"]
+                ).scharr_gradients_batched(f)
+            ),
+            (frames,),
+            px * 4, None,
+            "fused gx/gy/|g| in one VMEM pass per frame (round 4)",
+        ),
+        (
+            "pyramid5_batched_pallas(b96)",
+            jax.jit(
+                lambda f: __import__(
+                    "uwslam_tpu.image.pyramid", fromlist=["x"]
+                ).build_pyramid_batched(f, levels=5)
+            ),
+            (frames,),
+            int(px * (1 + 4 * 1.33)), None,
+            "batched pyramid via the Pallas scharr kernel (round 4)",
+        ),
+        (
             "sample_dense_c3(b96,n2048)",
             jax.jit(jax.vmap(bilinear_sample_dense)),
             (stacked3, uv),

@@ -425,7 +425,8 @@ def main() -> int:
     long_args = ["-d", tum_long["rgb"], "-c", tum_long["calib"],
                  "--tum-gt", tum_long["gt"], "--levels", "4",
                  "--mono-depth", "2.5", "--features", "--ba",
-                 "--depth-bootstrap", "--kf-max-gap", "10",
+                 "--depth-bootstrap", "--kf-max-gap", "6",
+                 "--kp-per-level", "512",
                  "--platform", "cpu", "--host-devices", "8"]
 
     configs = {

@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="maximum frames between keyframes (lower = denser "
                         "keyframe map, e.g. for global distributed BA at "
                         "scale)")
+    p.add_argument("--kp-per-level", type=int, default=256,
+                   help="feature keypoint capacity per pyramid level "
+                        "(raise for denser global-BA track graphs)")
     p.add_argument("--viz-port", type=int, default=None,
                    help="serve a live trajectory view on this HTTP port "
                         "(the reference's Rviz stream, without ROS)")
@@ -291,7 +294,12 @@ def main(argv=None) -> int:
     import numpy as np
 
     from .. import camera
-    from ..config import KeyframeConfig, SlamConfig, TrackerConfig
+    from ..config import (
+        FeatureConfig,
+        KeyframeConfig,
+        SlamConfig,
+        TrackerConfig,
+    )
     from ..io import (
         FramePrefetcher,
         associate,
@@ -324,6 +332,7 @@ def main(argv=None) -> int:
             affine_brightness=args.affine,
             depth_bootstrap=args.depth_bootstrap,
         ),
+        features=FeatureConfig(per_level=args.kp_per_level),
         keyframes=KeyframeConfig(
             min_gap=args.kf_min_gap, max_gap=args.kf_max_gap
         ),
