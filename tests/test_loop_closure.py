@@ -264,5 +264,161 @@ class TestVladRetrieval:
         assert float(np.max(sims)) > LoopConfig().min_similarity_vlad
 
 
+class TestAdversarialFalseLoops:
+    """VERDICT r4 next #8: the geometric-verification gates
+    (map/loop_closure.py: PnP + inlier-ratio + reverse-PnP) must REJECT
+    perceptually-aliased NON-revisits — candidates whose descriptors match
+    (same texture statistics, so retrieval and the ratio test both fire)
+    but whose geometry is different — while a true revisit with the same
+    descriptor statistics still passes. Reference anchor for the
+    verification semantics: /root/reference/src/Tracker.cpp:105-169
+    (geometric RANSAC after appearance matching).
+
+    Uses the TUM-scale camera (fx=525, 640x480): the gates' pixel
+    thresholds are tuned for it, and depth-corruption parallax
+    (~ t * d(1/z) * f) only rises above the 8 px PnP threshold at a
+    realistic focal length and revisit baseline."""
+
+    N = 128
+    D = 32
+    ACAM = PinholeCamera(
+        fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480
+    )
+
+    def _points(self, rng):
+        """Random in-view structure: uv uniform in the image, z in [1.5, 3]."""
+        cam = self.ACAM
+        uv = np.stack(
+            [
+                rng.uniform(20, cam.width - 20, self.N),
+                rng.uniform(20, cam.height - 20, self.N),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        z = rng.uniform(1.5, 3.0, self.N).astype(np.float32)
+        p = np.asarray(cam.unproject(jnp.asarray(uv), jnp.asarray(z)))
+        return uv, p
+
+    def _descs(self, rng):
+        d = rng.standard_normal((self.N, self.D)).astype(np.float32)
+        return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    def _rec(self, lc, fid, uv, p3d, desc):
+        return KeyframeRecord(
+            frame_id=fid,
+            T_wc=np.eye(4, dtype=np.float32),
+            kp_uv=jnp.asarray(uv),
+            kp_desc=jnp.asarray(desc),
+            kp_valid=jnp.ones(self.N, bool),
+            kp_p3d=jnp.asarray(p3d),
+            global_desc=lc._global_desc(desc, np.ones(self.N, bool)),
+        )
+
+    def _closer_with_history(self, cand_uv, cand_p, cand_desc, rng):
+        """History = [candidate, 2 unrelated fillers]; detect() will try the
+        next appended record against the candidate (min_gap=2)."""
+        lc = LoopCloser(cam=self.ACAM, config=LoopConfig(min_gap=2))
+        lc.history.append(self._rec(lc, 0, cand_uv, cand_p, cand_desc))
+        for k in (1, 2):
+            uv, p = self._points(np.random.default_rng(100 + k))
+            lc.history.append(
+                self._rec(lc, k, uv, p, self._descs(
+                    np.random.default_rng(200 + k)
+                ))
+            )
+        return lc
+
+    def test_true_revisit_accepted(self):
+        rng = np.random.default_rng(0)
+        cand_uv, cand_p = self._points(rng)
+        desc = self._descs(rng)
+        T = np.asarray(
+            se3.exp(jnp.asarray([0.15, 0.05, 0.02, 0.02, 0.03, 0.01]))
+        )
+        p_cur = cand_p @ T[:3, :3].T + T[:3, 3]
+        uv_cur = np.asarray(self.ACAM.project(jnp.asarray(p_cur)))
+        desc_cur = desc + 0.02 * rng.standard_normal(desc.shape).astype(
+            np.float32
+        )
+        lc = self._closer_with_history(cand_uv, cand_p, desc, rng)
+        lc.history.append(self._rec(lc, 3, uv_cur, p_cur, desc_cur))
+        edge = lc.detect()
+        assert edge is not None, "true revisit rejected"
+        # Edge pose (cand <- cur) must recover T^-1 to a few cm.
+        err = np.linalg.norm(edge.T_ij[:3, 3] - np.linalg.inv(T)[:3, 3])
+        assert err < 0.05, err
+
+    def test_aliased_different_geometry_rejected(self):
+        """Same descriptors (perceptual aliasing — matching fires), but the
+        current keyframe's geometry is an unrelated scene: every candidate
+        must be rejected; no edge may enter the graph."""
+        rng = np.random.default_rng(1)
+        cand_uv, cand_p = self._points(rng)
+        desc = self._descs(rng)
+        # Unrelated structure with the SAME descriptors.
+        uv_cur, p_cur = self._points(np.random.default_rng(7))
+        desc_cur = desc + 0.02 * rng.standard_normal(desc.shape).astype(
+            np.float32
+        )
+        lc = self._closer_with_history(cand_uv, cand_p, desc, rng)
+        lc.history.append(self._rec(lc, 3, uv_cur, p_cur, desc_cur))
+        assert lc.detect() is None, "aliased non-revisit accepted"
+        assert lc.loop_edges == []
+
+    def test_corrupted_structure_caught_by_reverse_pnp(self):
+        """Adversary built to pass the FORWARD gates: current-pixel
+        observations are perfectly consistent with a revisit pose (forward
+        PnP succeeds with a high inlier ratio), but the current keyframe's
+        STORED 3D is corrupted (non-rigid per-point depth noise, e.g. a
+        poisoned depth prior). Only the reverse-PnP consistency gate can
+        catch this — and must."""
+        import jax.random as jrandom
+
+        from uwslam_tpu.features import match_descriptors, pnp_from_pixels
+
+        rng = np.random.default_rng(2)
+        cand_uv, cand_p = self._points(rng)
+        desc = self._descs(rng)
+        T = np.asarray(
+            se3.exp(jnp.asarray([0.35, 0.15, 0.08, 0.02, 0.05, 0.03]))
+        )
+        p_true = cand_p @ T[:3, :3].T + T[:3, 3]
+        uv_cur = np.asarray(self.ACAM.project(jnp.asarray(p_true)))
+        # Stored 3D: right pixels, WRONG non-rigid depths.
+        z_bad = p_true[:, 2] * rng.uniform(0.4, 2.5, self.N).astype(
+            np.float32
+        )
+        p_bad = np.asarray(self.ACAM.unproject(jnp.asarray(uv_cur),
+                                         jnp.asarray(z_bad)))
+        desc_cur = desc + 0.02 * rng.standard_normal(desc.shape).astype(
+            np.float32
+        )
+        lc = self._closer_with_history(cand_uv, cand_p, desc, rng)
+        lc.history.append(self._rec(lc, 3, uv_cur, p_bad, desc_cur))
+        cand, cur = lc.history[0], lc.history[3]
+        cfg = lc.config
+
+        # Prove the adversary defeats the forward gates on its own: forward
+        # PnP verifies with a healthy inlier ratio.
+        m = match_descriptors(
+            cand.kp_desc, cur.kp_desc, cand.kp_valid, cur.kp_valid,
+            ratio=cfg.match_ratio,
+        )
+        fwd = pnp_from_pixels(
+            self.ACAM, cand.kp_p3d[m.idx_a], cur.kp_uv[m.idx_b], m.valid,
+            jrandom.PRNGKey(3),
+            threshold_px=cfg.pnp_threshold_px,
+            min_inliers=cfg.pnp_min_inliers,
+        )
+        assert bool(fwd.ok), "forward PnP should succeed on this adversary"
+        assert int(fwd.num_inliers) >= cfg.min_inlier_ratio * int(
+            m.valid.sum()
+        ), "forward inlier ratio should clear the gate on this adversary"
+
+        # The full gate stack must still reject it (reverse-PnP).
+        assert lc.detect() is None, "corrupted-structure loop accepted"
+        assert lc.loop_edges == []
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "implies --features)")
     p.add_argument("--num-points", type=int, default=2048,
                    help="tracked point budget per frame")
+    p.add_argument("--bootstrap-edge-ratio", type=float, default=None,
+                   help="with --depth-bootstrap: drop selected points whose "
+                        "prior read straddles a depth discontinuity (the 4 "
+                        "interpolation cells disagree by more than this "
+                        "ratio); 0 disables (default: TrackerConfig)")
+    p.add_argument("--bootstrap-block", type=int, default=None,
+                   help="with --depth-bootstrap: inverse-depth prior grid "
+                        "cell size in pixels (default: TrackerConfig)")
     p.add_argument("--kf-min-gap", type=int, default=3,
                    help="minimum frames between keyframes")
     p.add_argument("--kf-max-gap", type=int, default=30,
@@ -128,7 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pipeline", action="store_true",
                    help="disable the frames-in-flight live loop (one fused "
                         "device program per frame + async diagnostics "
-                        "readback retired one frame late) and process every "
+                        "readback retired in batches a few frames late) and "
+                        "process every "
                         "frame synchronously")
     p.add_argument("--offline", action="store_true",
                    help="throughput mode: batch the whole dataset through the "
@@ -331,6 +340,14 @@ def main(argv=None) -> int:
             track_mode=args.track_mode,
             affine_brightness=args.affine,
             depth_bootstrap=args.depth_bootstrap,
+            **(
+                {"bootstrap_edge_ratio": args.bootstrap_edge_ratio}
+                if args.bootstrap_edge_ratio is not None else {}
+            ),
+            **(
+                {"bootstrap_block": args.bootstrap_block}
+                if args.bootstrap_block is not None else {}
+            ),
         ),
         features=FeatureConfig(per_level=args.kp_per_level),
         keyframes=KeyframeConfig(
@@ -423,7 +440,8 @@ def main(argv=None) -> int:
     warmup = min(15, max(0, n - 10))
     t_warm = None
     # Pipelined by default: frames in flight with async diag readback
-    # (results one frame late). --no-pipeline / --profile force the
+    # (results retired in batches ~5-9 frames late; see
+    # SlamSystem.process_frame_async). --no-pipeline / --profile force the
     # synchronous path (per-stage timers need fenced stages). The pipelined
     # loop also uploads each frame to the device one frame ahead
     # (DeviceFramePrefetcher) so the H2D transfer overlaps the previous

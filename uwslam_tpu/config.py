@@ -129,6 +129,14 @@ class BAConfig:
     landmark_capacity: int = 4096
     obs_capacity: int = 16384
     run_every_n_keyframes: int = 1
+    # Dispatch the window solve asynchronously and retire its result through
+    # the pending-correction mechanism a few frames later (exactly as loop
+    # closure already does), so the ~100-150 ms of device round trips around
+    # each solve overlap the live loop instead of blocking the retire path
+    # (VERDICT r4: config 4 lost 4x warm fps to its own no-BA ablation).
+    # False forces the round-3 synchronous write-back (used by the
+    # sync-vs-async parity test).
+    asynchronous: bool = True
 
 
 @dataclass(frozen=True)

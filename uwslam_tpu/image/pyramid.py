@@ -205,7 +205,9 @@ def bilinear_sample_dense(images: jax.Array, uv: jax.Array, precision=None):
     # explicit precision and keep the f32 path; UWSLAM_SAMPLE_F32=1 forces
     # it globally. (An earlier round measured bf16 as a wash on the FC
     # 3-channel path and worse accuracy with bf16 GRADIENTS feeding J;
-    # gradients here stay f32 — only this sampler's operands narrow.)
+    # FC's residuals_and_jacobian therefore passes precision=HIGHEST so its
+    # gradient channels never take this branch — only IC's intensity-only
+    # sampling and gradient-free callers narrow to bf16.)
     import os as _os
 
     if (

@@ -145,6 +145,13 @@ def umeyama_alignment(src: np.ndarray, dst: np.ndarray, with_scale: bool = True)
     return s, R, t
 
 
+# Machine-readable record of the last ate_rmse call's non-finite-pair drop
+# (ADVICE r4: a largely-NaN trajectory must not pass health checks with only
+# a stderr warning). eval.py also parses the WARNING line and fails a health
+# check when the dropped fraction exceeds 2%.
+ate_last_dropped = {"dropped": 0, "total": 0}
+
+
 def ate_rmse(
     est_positions: np.ndarray,
     gt_positions: np.ndarray,
@@ -156,6 +163,8 @@ def ate_rmse(
     gt = np.asarray(gt_positions, np.float64)
     assert est.shape == gt.shape
     finite = np.isfinite(est).all(axis=1) & np.isfinite(gt).all(axis=1)
+    ate_last_dropped["dropped"] = int((~finite).sum())
+    ate_last_dropped["total"] = int(len(est))
     if not finite.all():
         # A non-finite pose must not kill the whole evaluation (LAPACK's
         # SVD refuses to converge on a NaN covariance) — but it must be

@@ -101,6 +101,20 @@ class LoopConfig:
     check_reverse_pnp: bool = True
     reverse_max_rot: float = 0.15          # rad
     reverse_max_trans_ratio: float = 0.35  # of |t| (+ 0.1 m absolute floor)
+    # 3. reverse inlier FRACTION — adversarial finding (round-5 test
+    #    TestAdversarialFalseLoops): a keyframe whose pixels fit a revisit
+    #    pose but whose stored 3D is corrupted can still produce a
+    #    pose-consistent reverse solve from a small lucky consensus
+    #    (measured: 32/128 reverse inliers slipping under the composition
+    #    gate). A true revisit re-verifies MOST of its forward inliers in
+    #    the mirror direction; require that fraction.
+    reverse_min_inlier_fraction: float = 0.3
+    # 4. depth-ratio dispersion — the per-inlier z_pred/z_cur ratios of a
+    #    true revisit scatter only by depth-prior noise (MAD of the log
+    #    ratio ~0.1-0.2); corrupted or unrelated structure scatters wide.
+    #    Applied when >= 8 ratio samples exist (same data the Sim(3) scale
+    #    estimate uses).
+    max_scale_log_mad: float = 0.35
     odometry_weight: float = 100.0
     loop_weight: float = 30.0
     max_pgo_iters: int = 30
@@ -277,6 +291,23 @@ class LoopCloser:
                 cand, cur, m, res, key
             ):
                 continue
+            # Depth-ratio dispersion gate (round-5 adversarial finding):
+            # the per-inlier ratios of cand's 3D transformed into the cur
+            # camera vs cur's OWN stored depths are tight for a true
+            # revisit (scale drift shifts the median, prior noise sets the
+            # scatter) and wide for corrupted/unrelated structure.
+            p_pred = np.asarray(se3.apply(res.T, cand.kp_p3d[m.idx_a]))
+            z_pred = p_pred[:, 2]
+            z_cur = np.asarray(cur.kp_p3d)[np.asarray(m.idx_b)][:, 2]
+            ok = (
+                np.asarray(m.valid & res.inliers)
+                & (z_pred > 1e-6) & (z_cur > 1e-6)
+            )
+            if ok.sum() >= 8:
+                logr = np.log(z_pred[ok] / z_cur[ok])
+                mad = float(np.median(np.abs(logr - np.median(logr))))
+                if mad > cfg.max_scale_log_mad:
+                    continue
             # res.T: cur camera <- cand camera  =>  T_ij (cand <- cur, world
             # chain convention of pose_graph: T_ij = T_i^-1 T_j).
             T_ij = np.linalg.inv(np.asarray(res.T, np.float32))
@@ -287,15 +318,6 @@ class LoopCloser:
             # scale drifted relative to cand's.
             scale = 1.0
             if cfg.use_sim3:
-                p_pred = np.asarray(
-                    se3.apply(res.T, cand.kp_p3d[m.idx_a])
-                )
-                z_pred = p_pred[:, 2]
-                z_cur = np.asarray(cur.kp_p3d)[np.asarray(m.idx_b)][:, 2]
-                ok = (
-                    np.asarray(m.valid & res.inliers)
-                    & (z_pred > 1e-6) & (z_cur > 1e-6)
-                )
                 if ok.sum() >= 8:
                     # z_pred is metric in cand's gauge; z_cur carries cur's
                     # drift d => median(z_pred/z_cur) = 1/d, which is exactly
@@ -330,6 +352,13 @@ class LoopCloser:
             min_inliers=cfg.pnp_min_inliers,
         )
         if not bool(res_bwd.ok):
+            return False
+        # A true revisit re-verifies most forward inliers in the mirror
+        # direction; a lucky small consensus over corrupted structure does
+        # not (round-5 adversarial finding — see LoopConfig).
+        if int(res_bwd.num_inliers) < cfg.reverse_min_inlier_fraction * int(
+            res_fwd.num_inliers
+        ):
             return False
         # res_fwd.T: cur <- cand;  res_bwd.T: cand <- cur.
         D = np.asarray(res_fwd.T, np.float32) @ np.asarray(

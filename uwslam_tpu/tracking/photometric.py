@@ -58,13 +58,15 @@ def _use_mxu_sampling() -> bool:
     return _jax.default_backend() != "cpu"
 
 
-def _sample_stack(stacked: jax.Array, uv: jax.Array):
+def _sample_stack(stacked: jax.Array, uv: jax.Array, precision=None):
     """(C, H, W) multi-channel bilinear sampling on the MXU path.
 
     Prefers the Pallas kernel (both one-hot contractions stay in VMEM —
     no HBM round-trip of the (C, N, W) intermediate; bit-exact vs the XLA
     formulation on TPU) when the point count tiles evenly; falls back to
-    the two-einsum XLA version otherwise."""
+    the two-einsum XLA version otherwise. Pass precision=HIGHEST when the
+    stack carries gradient channels feeding a Jacobian (see
+    bilinear_sample_dense's bf16 notes)."""
     import os
 
     n = uv.shape[0]
@@ -73,13 +75,17 @@ def _sample_stack(stacked: jax.Array, uv: jax.Array):
     # and the FUSED warp kernel in ops.pallas_track (UWSLAM_PALLAS_FUSED=1)
     # measured 2.5x slower end-to-end (see _use_pallas_fused). The two-einsum
     # XLA path below is the measured default.
-    if _env_flag("UWSLAM_PALLAS") and jax.default_backend() == "tpu":
+    if (
+        precision is None
+        and _env_flag("UWSLAM_PALLAS")
+        and jax.default_backend() == "tpu"
+    ):
         for tile in (512, 256, 128):
             if n % tile == 0:
                 from ..ops.pallas_sample import pallas_bilinear_sample
 
                 return pallas_bilinear_sample(stacked, uv, tile_n=tile)
-    return bilinear_sample_dense(stacked, uv)
+    return bilinear_sample_dense(stacked, uv, precision=precision)
 
 
 def _use_pallas_fused(C: int, H: int, W: int) -> bool:
@@ -108,7 +114,9 @@ def _use_pallas_fused(C: int, H: int, W: int) -> bool:
     )
 
 
-def _warp_sample(stacked: jax.Array, p3d: jax.Array, T: jax.Array, cam):
+def _warp_sample(
+    stacked: jax.Array, p3d: jax.Array, T: jax.Array, cam, precision=None
+):
     """Fused warp -> project -> bilinear sample of a (C, H, W) channel stack
     at the SE(3)-warped points. Returns ((C, N) samples, (N,) ok) where ok =
     in front of the camera AND inside the bilinear window.
@@ -116,7 +124,7 @@ def _warp_sample(stacked: jax.Array, p3d: jax.Array, T: jax.Array, cam):
     Dispatch: Pallas fused kernel (TPU) > warp in XLA + one-hot einsum
     sampling (TPU fallback) > warp + per-channel gather (CPU)."""
     C, H, W = stacked.shape
-    if _use_pallas_fused(C, H, W):
+    if precision is None and _use_pallas_fused(C, H, W):
         from ..ops.pallas_track import warp_and_sample
 
         return warp_and_sample(stacked, p3d, T, cam)
@@ -124,7 +132,7 @@ def _warp_sample(stacked: jax.Array, p3d: jax.Array, T: jax.Array, cam):
     uv_t = cam.project(p_t)
     in_front = p_t[..., 2] > 1e-3
     if _use_mxu_sampling():
-        vals, in_img = _sample_stack(stacked, uv_t)
+        vals, in_img = _sample_stack(stacked, uv_t, precision=precision)
     else:
         chans = [bilinear_sample(stacked[c], uv_t) for c in range(C)]
         vals = jnp.stack([c[0] for c in chans])
@@ -159,7 +167,12 @@ def residuals_and_jacobian(
     """
     p_t = se3.apply(T, pts.p3d)                       # (N, 3) target-cam points
     stacked = jnp.stack([image, grad_x, grad_y])
-    vals, ok = _warp_sample(stacked, pts.p3d, T, cam)
+    # FC samples the GRADIENT channels that feed J directly: keep them f32
+    # (precision=HIGHEST blocks bilinear_sample_dense's bf16 MXU branch).
+    # An earlier round measured ~35% pose-accuracy cost with bf16 gradients
+    # here; the bf16 win was measured on the IC path, whose hot loop samples
+    # intensity only (ADVICE r4 medium).
+    vals, ok = _warp_sample(stacked, pts.p3d, T, cam, precision=HIGHEST)
     i_t, gx, gy = vals[0], vals[1], vals[2]
 
     r = i_t - ref_intensity                           # photometric residual
