@@ -139,14 +139,23 @@ def _shard_slice(sharded, n_dev: int):
     )
 
 
-def run_curve(problem, cam, O, M, L, label):
+def run_curve(problem, cam, O, M, L, label, solver="auto"):
     from jax.sharding import Mesh
 
     from uwslam_tpu.parallel import AXIS, distributed_bundle_adjust, shard_problem
 
     print(f"[{label}] {M} poses, {L} landmarks, {O} observations",
           file=sys.stderr)
-    comm_bytes = 4 * (M * M * 36 + M * 36 + 2 * M * 6 + 4)
+    use_pcg = solver == "pcg"
+    if use_pcg:
+        # PCG (round 5): per LM iteration psum{U M*36, g M*6, precond diag
+        # M*36, rhs_red M*6, cost 2} + one (M, 6) psum per CG step (<=64,
+        # early-exited) — O(M) per step instead of O(M^2) per iteration.
+        comm_bytes = 4 * (M * 36 + M * 6 + M * 36 + M * 6 + 4)
+        comm_note = "per LM iter, + M*24 B per CG step (<=64 steps)"
+    else:
+        comm_bytes = 4 * (M * M * 36 + M * 36 + 2 * M * 6 + 4)
+        comm_note = "per LM iter (S_red dominates, O(M^2))"
 
     def timed(prob, mesh):
         def run():
@@ -154,6 +163,7 @@ def run_curve(problem, cam, O, M, L, label):
             out = distributed_bundle_adjust(
                 prob, cam, mesh, max_iters=MAX_ITERS,
                 huber_delta=2.0, num_fixed_poses=2, full_budget=True,
+                solver=solver,
             )
             it = int(out.iterations)  # device sync
             return out, it, time.perf_counter() - t0
@@ -189,7 +199,9 @@ def run_curve(problem, cam, O, M, L, label):
             "work_division_pct": round(
                 tshard1 / (n_dev * dt_shard) * 100.0, 1
             ),
+            "solver": "pcg" if use_pcg else "direct",
             "comm_bytes_per_iter": comm_bytes,
+            "comm_note": comm_note,
             "cost_initial": float(out.initial_cost),
             "cost_final": float(out.cost),
         })
@@ -213,12 +225,16 @@ def main() -> None:
         ),
         "curves": {},
     }
+    solver = "auto"
+    if "--solver" in sys.argv:
+        solver = sys.argv[sys.argv.index("--solver") + 1]
     for (M, L, label) in ((16, 16384, "wide"), (64, 8192, "session-map")):
         problem, cam, O = make_problem(M, L)
         out["curves"][label] = {
             "problem": {"poses": M, "landmarks": L, "observations": O,
                         "max_iters": MAX_ITERS},
-            "scaling": run_curve(problem, cam, O, M, L, label),
+            "scaling": run_curve(problem, cam, O, M, L, label,
+                                 solver=solver),
         }
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]

@@ -439,7 +439,11 @@ def main() -> int:
                  "--tum-gt", tum_long["gt"], "--levels", "4",
                  "--mono-depth", "2.5", "--features", "--ba",
                  "--depth-bootstrap", "--kf-max-gap", "6",
-                 "--kp-per-level", "512",
+                 # 768 kp/level: at 512 the global track graph peaked at
+                 # 2544 landmarks — under the >=3000 distribution-worthy
+                 # floor (VERDICT r4 next #1; the r4 keypoint-density knob
+                 # exists exactly for this).
+                 "--kp-per-level", "768",
                  "--platform", "cpu", "--host-devices", "8"]
 
     configs = {
@@ -473,10 +477,15 @@ def main() -> int:
             # under constant-depth model error), Huber weights (default),
             # affine brightness (0.089 -> 0.065 on the drifting-exposure
             # stand-in).
+            # --bootstrap-shrink 0.25 (round 5): on 150-frame runs the
+            # prior grid's structured depth error destabilizes LM; mostly-
+            # median depth beat both the raw grid and constant depth
+            # (0.0479 vs 0.0875 / 0.0535 across-seed spot checks).
             "args": ["-d", tum["rgb"], "-c", tum["calib"],
                      "--tum-gt", tum["gt"], "--levels", "3",
                      "--mono-depth", "2.5", "--features",
-                     "--depth-bootstrap", "--affine"],
+                     "--depth-bootstrap", "--affine",
+                     "--bootstrap-shrink", "0.25"],
         },
         3: {
             "name": "EUROC MH01 rectified LM tracking (5-level, affine)",

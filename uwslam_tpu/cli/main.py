@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bootstrap-block", type=int, default=None,
                    help="with --depth-bootstrap: inverse-depth prior grid "
                         "cell size in pixels (default: TrackerConfig)")
+    p.add_argument("--bootstrap-shrink", type=float, default=None,
+                   help="with --depth-bootstrap: blend prior depth reads "
+                        "toward the grid median (1.0 = raw structure; "
+                        "~0.25 stabilizes long runs — see TrackerConfig)")
     p.add_argument("--kf-min-gap", type=int, default=3,
                    help="minimum frames between keyframes")
     p.add_argument("--kf-max-gap", type=int, default=30,
@@ -347,6 +351,10 @@ def main(argv=None) -> int:
             **(
                 {"bootstrap_block": args.bootstrap_block}
                 if args.bootstrap_block is not None else {}
+            ),
+            **(
+                {"bootstrap_shrink": args.bootstrap_shrink}
+                if args.bootstrap_shrink is not None else {}
             ),
         ),
         features=FeatureConfig(per_level=args.kp_per_level),

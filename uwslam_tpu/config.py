@@ -70,11 +70,20 @@ class TrackerConfig:
     #                                      translation best; the Tukey
     #                                      weights already down-weight the
     #                                      phantom-depth residuals.
-    bootstrap_refine_points: bool = False
     # Per-point photometric depth refinement of freshly-selected points.
     # OFF: measured 2-3%/frame monocular scale shrink — the refinement is
     # near-biased at occlusion boundaries and feeds the pose directly,
     # bypassing the prior's gauge anchor. Kept for RGBD-free experimentation.
+    bootstrap_refine_points: bool = False
+    # Blend each prior depth read toward the grid's median inverse depth
+    # (1.0 = raw grid, the default: short well-anchored runs NEED the raw
+    # structure — it beats constant-z 3.9x on the 12-frame multi-plane
+    # scene). On LONG runs the grid's structured per-point error (~35%
+    # gauge-removed) accumulates and destabilizes the photometric LM;
+    # 0.25 measured best there (150-frame TUM stand-in sweep: 0.0479 vs
+    # 0.0875 raw / 0.0535 constant ATE — see depth_prior.sample_prior and
+    # eval.py config 2's --bootstrap-shrink).
+    bootstrap_shrink: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -57,7 +57,7 @@ class FrameState:
     status: str = "ok"        # "ok" | "lost" | "relocalized"
 
 
-def _fused_prior_update(prior, T_rel, prev_pts, img0, gx0, gy0,
+def _fused_prior_update(prior, T_rel, ab, prev_pts, img0, gx0, gy0,
                         uv_a, uv_b, good, idx_b, *, cam, blk, cap):
     """Steady-state depth-prior refresh (jit-safe, shared by the standalone
     _prior_core program and the pipelined megastep): photometric per-point
@@ -87,7 +87,15 @@ def _fused_prior_update(prior, T_rel, prev_pts, img0, gx0, gy0,
 
     prop = propagate_prior(prior, T_rel, cam)
 
-    ref = refine_inverse_depth(prev_pts, T_rel, img0, gx0, gy0, cam)
+    # Round-5 A/B notes (150-frame TUM stand-in, 3 seeds): slope^2
+    # confidence weighting of this splat measured 2-3x WORSE ATE — the
+    # high-slope points are the occlusion-edge points where photometric
+    # depth is near-biased, so weighting amplifies exactly the bias; and
+    # affine-compensating the refinement residual (ab=out.affine) measured
+    # worse too. Uniform votes + uncompensated residual (the r4 behavior)
+    # remain the measured best; the ab/weights plumbing stays for scenes
+    # with stronger exposure drift.
+    ref = refine_inverse_depth(prev_pts, T_rel, img0, gx0, gy0, cam, ab=ab)
     uv_t, z_t, ok = transfer_depths(
         prev_pts, ref.inv_depth, ref.good, T_rel, cam
     )
@@ -116,7 +124,18 @@ def _fused_prior_update(prior, T_rel, prev_pts, img0, gx0, gy0,
         / jnp.maximum(wsum, 1e-6),
         0.0,
     )
-    fused = fill_prior(DepthPrior(inv_depth=inv, weight=wsum, block=blk))
+    fused = DepthPrior(inv_depth=inv, weight=wsum, block=blk)
+    # Post-fusion gauge re-anchor (round 5): each measurement grid is
+    # rescaled to prop's gauge by a MEDIAN ratio whose per-frame estimation
+    # error leaks a few percent of gauge noise into the fused grid; over
+    # 100+ frames that compounds into a random-walk scale wander (measured
+    # std(log scale) ~0.5 on the 150-frame stand-in — the drift
+    # Sim(3)-aligned ATE cannot absorb). Re-anchoring the FUSED grid to
+    # prop cancels the leak to first order while keeping the structure
+    # updates.
+    s_post = gauge_ratio(fused, prop)
+    fused = fused._replace(inv_depth=fused.inv_depth / s_post)
+    fused = fill_prior(fused)
     return fused, kp_depth
 
 
@@ -245,6 +264,13 @@ class SlamSystem:
         # against. See _run_window_ba/_retire_window_ba.
         self._ba_inflight = None
         self._fn_pack_ba = None
+        # Pipelined-loop device residents: cached identity correction and a
+        # carried device-side frame counter (PRNG seed) — each eager op /
+        # host->device put in the dispatch path is a ~5-10 ms tunnel round
+        # trip, so steady-state dispatch must touch the device only through
+        # the ONE megastep call.
+        self._corr_eye = None
+        self._fid_dev = None
 
     # ------------------------------------------------------------------ ingest
 
@@ -365,13 +391,17 @@ class SlamSystem:
             depth, ok = sample_prior_checked(
                 self._depth_prior, pts.uv, cfg.mono_depth,
                 max_edge_ratio=cfg.bootstrap_edge_ratio,
+                shrink=cfg.bootstrap_shrink,
             )
             return pts._replace(
                 p3d=self.cam.unproject(pts.uv, depth), valid=pts.valid & ok
             )
         from .tracking.depth_prior import sample_prior
 
-        depth = sample_prior(self._depth_prior, pts.uv, cfg.mono_depth)
+        depth = sample_prior(
+            self._depth_prior, pts.uv, cfg.mono_depth,
+            shrink=cfg.bootstrap_shrink,
+        )
         return pts._replace(p3d=self.cam.unproject(pts.uv, depth))
 
     def _bootstrap_init(self, matches):
@@ -424,7 +454,8 @@ class SlamSystem:
         ))
         return jnp.asarray(T_init), prior
 
-    def _update_prior(self, T_rel, prev_pyr, prev_pts, cur_pyr, cur_feats=None):
+    def _update_prior(self, T_rel, prev_pyr, prev_pts, cur_pyr, cur_feats=None,
+                      ab=None):
         """Refresh the inverse-depth prior onto the CURRENT frame.
 
         Three depth sources, fused support-weighted in inverse depth:
@@ -479,11 +510,12 @@ class SlamSystem:
                 inv_depth=jnp.where(keep, grid.inv_depth, 0.0),
             )
 
-        # 1. photometric per-point refinement of the points just tracked
+        # 1. photometric per-point refinement of the points just tracked,
+        # brightness-compensated by the tracker's affine estimate.
         ref = refine_inverse_depth(
             prev_pts, T_rel,
             cur_pyr.images[0], cur_pyr.grad_x[0], cur_pyr.grad_y[0],
-            self.cam,
+            self.cam, ab=ab,
         )
         uv_t, z_t, ok = transfer_depths(
             prev_pts, ref.inv_depth, ref.good, T_rel, self.cam
@@ -568,7 +600,12 @@ class SlamSystem:
             / jnp.maximum(wsum, 1e-6),
             0.0,
         )
-        fused = fill_prior(DepthPrior(inv_depth=inv, weight=wsum, block=blk))
+        fused = DepthPrior(inv_depth=inv, weight=wsum, block=blk)
+        if prop is not None:
+            # Post-fusion gauge re-anchor — see _fused_prior_update.
+            s_post = gauge_ratio(fused, prop)
+            fused = fused._replace(inv_depth=fused.inv_depth / s_post)
+        fused = fill_prior(fused)
         if self._depth_prior is None:
             # Pre-bootstrap: install only once a source actually fired (one
             # scalar pull, paid only until the prior exists) — otherwise
@@ -628,7 +665,9 @@ class SlamSystem:
                 from .tracking.depth_prior import sample_prior
 
                 depth = sample_prior(
-                    self._depth_prior, kps.uv, self.config.tracker.mono_depth
+                    self._depth_prior, kps.uv,
+                    self.config.tracker.mono_depth,
+                    shrink=self.config.tracker.bootstrap_shrink,
                 )
             if depth_dev is None and self._kp_depth is not None:
                 # Exact per-keypoint triangulated depth (gauge-anchored in
@@ -805,7 +844,7 @@ class SlamSystem:
             jrandom.PRNGKey(self._frame_id),
         )
 
-    def _prior_core(self, T_rel, prev_pts, cur_pyr, matches):
+    def _prior_core(self, T_rel, ab, prev_pts, cur_pyr, matches):
         """Steady-state prior refresh as ONE jitted program: photometric
         per-point refinement + transfer, match triangulation, gauge
         anchoring against the propagated prior, support gating, fusion, and
@@ -826,8 +865,9 @@ class SlamSystem:
                 )
             )
         uv_a, uv_b, good, _, idx_b = matches
+        ab = jnp.zeros(2, jnp.float32) if ab is None else ab
         return self._fn_prior_core(
-            self._depth_prior, T_rel, prev_pts,
+            self._depth_prior, T_rel, ab, prev_pts,
             cur_pyr.images[0], cur_pyr.grad_x[0], cur_pyr.grad_y[0],
             uv_a, uv_b, good, idx_b,
         )
@@ -852,6 +892,7 @@ class SlamSystem:
                     depth, ok = sample_prior_checked(
                         prior, pts.uv, cfg.mono_depth,
                         max_edge_ratio=cfg.bootstrap_edge_ratio,
+                        shrink=cfg.bootstrap_shrink,
                     )
                     return pts._replace(
                         p3d=cam.unproject(pts.uv, depth),
@@ -859,7 +900,10 @@ class SlamSystem:
                     )
                 from .tracking.depth_prior import sample_prior
 
-                depth = sample_prior(prior, pts.uv, cfg.mono_depth)
+                depth = sample_prior(
+                    prior, pts.uv, cfg.mono_depth,
+                    shrink=cfg.bootstrap_shrink,
+                )
                 return pts._replace(p3d=cam.unproject(pts.uv, depth))
 
             self._fn_select_boot = jax.jit(fn)
@@ -1005,7 +1049,10 @@ class SlamSystem:
             cap = fcfg.per_level * fcfg.detect_levels
 
             def fn(img, prev_pyr, prev_pts, prev_kp_uv, prev_desc,
-                   prev_kp_valid, prior, T_init, T_wc, T_ref, corr, key):
+                   prev_kp_valid, prior, T_init, T_wc, T_ref, corr, fid):
+                import jax.random as jrandom
+
+                key = jrandom.PRNGKey(fid)
                 img = img.astype(jnp.float32)
                 if rect is not None:
                     img = remap_bilinear(img, rect)
@@ -1063,7 +1110,7 @@ class SlamSystem:
                     ]
                 )
                 prior_new, kp_depth = _fused_prior_update(
-                    prior, T_rel, prev_pts,
+                    prior, T_rel, None, prev_pts,
                     pyr.images[0], pyr.grad_x[0], pyr.grad_y[0],
                     uv_a, uv_b, good, m.idx_b,
                     cam=cam, blk=tcfg.bootstrap_block, cap=cap,
@@ -1084,16 +1131,20 @@ class SlamSystem:
                     depth, ok = sample_prior_checked(
                         prior_new, pts.uv, tcfg.mono_depth,
                         max_edge_ratio=tcfg.bootstrap_edge_ratio,
+                        shrink=tcfg.bootstrap_shrink,
                     )
                     pts = pts._replace(
                         p3d=cam.unproject(pts.uv, depth),
                         valid=pts.valid & ok,
                     )
                 else:
-                    depth = sample_prior(prior_new, pts.uv, tcfg.mono_depth)
+                    depth = sample_prior(
+                        prior_new, pts.uv, tcfg.mono_depth,
+                        shrink=tcfg.bootstrap_shrink,
+                    )
                     pts = pts._replace(p3d=cam.unproject(pts.uv, depth))
                 return pyr, kps, desc, T_rel, T_wc_new, prior_new, \
-                    kp_depth, pts, diag
+                    kp_depth, pts, diag, fid + 1
 
             self._fn_step_boot = jax.jit(fn)
         return self._fn_step_boot
@@ -1182,7 +1233,12 @@ class SlamSystem:
             self._pipelined = False
 
     def _dispatch_pipelined(self, image: np.ndarray, ts: float) -> dict:
-        corr = jnp.asarray(self._corr_pending)
+        if self._corr_eye is None:
+            self._corr_eye = jnp.eye(4, dtype=jnp.float32)
+        if np.allclose(self._corr_pending, np.eye(4)):
+            corr = self._corr_eye        # cached device-resident identity
+        else:
+            corr = jnp.asarray(self._corr_pending)
         self._corr_pending = np.eye(4, dtype=np.float32)
         T_ref = self.keyframes.latest.T_wc
         prev_pyr, prev_pts, _ = self._prev
@@ -1196,17 +1252,21 @@ class SlamSystem:
             kp_depth = None
             prior_new = None
         else:
-            import jax.random as jrandom
-
             step = self._build_step_boot()
             kp_prev, desc_prev = self._prev_feats
+            if self._fid_dev is None:
+                # One upload when (re)entering the pipelined steady state;
+                # afterwards the counter lives on device (the megastep
+                # returns fid+1), so the per-frame PRNG seed costs nothing.
+                self._fid_dev = jnp.asarray(self._frame_id, jnp.int32)
             (pyr, kps, desc, T_rel, T_wc_new, prior_new, kp_depth, pts,
-             diag) = step(
+             diag, fid_next) = step(
                 jnp.asarray(image), prev_pyr, prev_pts,
                 kp_prev.uv, desc_prev, kp_prev.valid,
                 self._depth_prior, self._velocity, self._T_wc, T_ref,
-                corr, jrandom.PRNGKey(self._frame_id),
+                corr, self._fid_dev,
             )
+            self._fid_dev = fid_next
             feats = (kps, desc)
             self._depth_prior = prior_new
             self._kp_depth = kp_depth
@@ -1494,6 +1554,7 @@ class SlamSystem:
             return x
 
         ts = float(timestamp) if timestamp is not None else float(self._frame_id)
+        self._fid_dev = None   # sync frames advance _frame_id off-device
         with self.timers.stage("ingest"):
             pyr = _sync(self._ingest_pyramid(image))
         depth_dev = None
@@ -1635,13 +1696,14 @@ class SlamSystem:
                     ):
                         # Steady state: one fused program (zero host pulls).
                         self._depth_prior, self._kp_depth = self._prior_core(
-                            T_rel, prev_pts, pyr, self._last_matches
+                            T_rel, None, prev_pts, pyr,
+                            self._last_matches
                         )
                     else:
                         # Bootstrap window / recovery: the multi-source path
                         # with the wide-baseline anchor and install gating.
                         self._update_prior(
-                            T_rel, prev_pyr, prev_pts, pyr, cur_feats
+                            T_rel, prev_pyr, prev_pts, pyr, cur_feats,
                         )
             with self.timers.stage("select"):
                 pts = _sync(self._select_points(pyr, depth_dev))

@@ -126,11 +126,16 @@ def prior_from_points(
     height: int,
     width: int,
     block: int = 32,
+    weights: jax.Array | None = None,
 ) -> DepthPrior:
     """Rasterize sparse depths into a coarse inverse-depth grid.
 
     Scatter-free: cell ids are computed per point and reduced with
-    segment_sum over the static Hb*Wb bins."""
+    segment_sum over the static Hb*Wb bins.
+
+    weights: optional per-point confidences (e.g. inverse variance of a
+    photometric depth estimate, ~ slope^2). Without them every valid point
+    votes equally and one badly-observable point drags its whole cell."""
     Hb = -(-height // block)
     Wb = -(-width // block)
     cx = jnp.clip((uv[:, 0] // block).astype(jnp.int32), 0, Wb - 1)
@@ -138,6 +143,8 @@ def prior_from_points(
     cell = cy * Wb + cx
     inv = jnp.where(valid, 1.0 / jnp.maximum(depth, 1e-6), 0.0)
     w = valid.astype(jnp.float32)
+    if weights is not None:
+        w = w * jnp.maximum(weights, 0.0)
     num = jax.ops.segment_sum(inv * w, cell, num_segments=Hb * Wb)
     den = jax.ops.segment_sum(w, cell, num_segments=Hb * Wb)
     inv_grid = jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
@@ -227,25 +234,42 @@ def gauge_ratio(
     return jnp.where(n >= 8, med, 1.0)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("shrink",))
 def sample_prior(
-    prior: DepthPrior, uv: jax.Array, fallback: float | jax.Array = 1.0
+    prior: DepthPrior,
+    uv: jax.Array,
+    fallback: float | jax.Array = 1.0,
+    shrink: float = 1.0,
 ) -> jax.Array:
     """Bilinear sample of the inverse-depth grid at pixel coords (N, 2);
     returns DEPTH. Cells are centered at (i + 0.5) * block. The grid is
-    coarse (tens of cells), so a plain 4-tap gather is cheap even on TPU."""
+    coarse (tens of cells), so a plain 4-tap gather is cheap even on TPU.
+
+    shrink < 1 blends each read toward the grid's median inverse depth:
+    inv <- shrink*inv + (1-shrink)*median. Round-5 finding: the grid's
+    per-point structure carries ~35% gauge-removed depth error whose
+    SPATIAL STRUCTURE destabilizes the photometric LM (measured 3x
+    smaller, wildly inconsistent displacements), while a mostly-smooth
+    depth field keeps the pose estimate coherent — shrink=0.25 beat both
+    the raw grid AND constant depth on the multi-plane TUM stand-in
+    (0.0479 vs 0.0875 raw / 0.0535 constant ATE; sweep: 0.25 > 0.5 > 1.0).
+    """
     inv, _ = _sample_prior_taps(prior, uv)
+    if shrink < 1.0:
+        med = _masked_median(prior.inv_depth, prior.weight > 0)
+        inv = jnp.where(inv > 1e-6, shrink * inv + (1.0 - shrink) * med, inv)
     ok = inv > 1e-6
     return jnp.where(ok, 1.0 / jnp.maximum(inv, 1e-6), fallback)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("shrink",))
 def sample_prior_checked(
     prior: DepthPrior,
     uv: jax.Array,
     fallback: float | jax.Array = 1.0,
     max_edge_ratio: float = 1.6,
     min_support: float = 0.5,
+    shrink: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """sample_prior + a discontinuity flag: (depth, ok). ok is False where
     the 4 interpolation cells disagree by more than max_edge_ratio — a
@@ -269,6 +293,9 @@ def sample_prior_checked(
         & (tmax <= tmin * max_edge_ratio)
         & (w >= min_support)
     )
+    if shrink < 1.0:
+        med = _masked_median(prior.inv_depth, prior.weight > 0)
+        inv = jnp.where(inv > 1e-6, shrink * inv + (1.0 - shrink) * med, inv)
     return jnp.where(ok, 1.0 / jnp.maximum(inv, 1e-6), fallback), ok
 
 

@@ -34,6 +34,9 @@ from .points import TrackPoints
 class RefinedDepth(NamedTuple):
     inv_depth: jax.Array   # (N,) refined inverse depths (reference frame)
     good: jax.Array        # (N,) refinement believed (converged, observable)
+    slope: jax.Array       # (N,) |dr/drho| at convergence — the estimate's
+    #                        observability; its square ~ inverse variance
+    #                        (confidence weight for grid fusion)
 
 
 @partial(jax.jit, static_argnames=("cam", "iters"))
@@ -49,14 +52,24 @@ def refine_inverse_depth(
     max_depth: float = 50.0,
     min_slope: float = 0.5,
     max_residual: float = 12.0,
+    ab: jax.Array | None = None,
 ) -> RefinedDepth:
     """GN on per-point inverse depth at fixed pose (target-frame image +
     gradients at the finest level). Gates: the photometric depth slope
     |dr/drho| must be observable (parallax x texture), the final residual
     small, and the depth in bounds — otherwise the point keeps its prior
-    depth and is marked not-good."""
-    from .photometric import _sample_stack, _use_mxu_sampling
+    depth and is marked not-good.
+
+    ab: the tracker's affine-brightness estimate (a, b) for this frame
+    pair. The depth residual must be compensated by the SAME photometric
+    model the pose was solved under: with per-frame gain/bias drift an
+    uncompensated brightness offset of a few intensity units divided by a
+    min_slope-sized depth slope walks rho by whole units — measured on the
+    drifting-exposure TUM stand-in as the dominant depth-prior error
+    source (round 5)."""
+    from .photometric import _affine_residual, _sample_stack, _use_mxu_sampling
     from ..image.pyramid import bilinear_sample
+    from ..utils.precision import HIGHEST
 
     R = se3.rotation(T)
     t = se3.translation(T)
@@ -69,6 +82,9 @@ def refine_inverse_depth(
         p = Rx + rho[:, None] * t                            # ~ target dir
         uv_t = cam.project(p)
         if _use_mxu_sampling():
+            # Default (bf16) sampling: unlike FC tracking's Jacobian, the
+            # per-point depth slope only needs ~1% relative accuracy, and a
+            # HIGHEST-precision A/B on the TUM stand-in measured no gain.
             vals, inb = _sample_stack(stacked, uv_t)
             i_t, gx, gy = vals[0], vals[1], vals[2]
         else:
@@ -76,6 +92,8 @@ def refine_inverse_depth(
             gx, _ = bilinear_sample(grad_x, uv_t)
             gy, _ = bilinear_sample(grad_y, uv_t)
         r = i_t - pts.intensity
+        if ab is not None:
+            r = _affine_residual(r, pts.intensity, ab, jnp.ones_like(r, bool))
         Jp = cam.project_jacobian(p)                         # (N, 2, 3)
         duv = jnp.einsum("nij,j->ni", Jp, t)                 # (N, 2)
         g = gx * duv[:, 0] + gy * duv[:, 1]                  # dr/drho
@@ -100,7 +118,7 @@ def refine_inverse_depth(
         & (jnp.abs(r) < max_residual)     # alignment actually explains it
         & (rho > 1.0 / max_depth) & (rho < 1.0 / min_depth)
     )
-    return RefinedDepth(inv_depth=rho, good=good)
+    return RefinedDepth(inv_depth=rho, good=good, slope=jnp.abs(g))
 
 
 @partial(jax.jit, static_argnames=("cam",))
