@@ -623,9 +623,23 @@ def track(
     for lvl, lvl_iters in zip(levels, iters_schedule):
         scale = 1.0 / (1 << lvl)
         cam_l = cam.scaled(lvl)
-        uv_l = pts.uv * scale
+        # (Measured dead end, round 5: slicing the strongest N>>lvl points at
+        # coarse levels — smaller sampling contractions and per-iteration
+        # elementwise ops — LOST 6% end-to-end on v5e (3347 vs 3536 fps):
+        # the per-level reslices break XLA's buffer reuse across levels and
+        # the sub-128-lane shapes pad anyway. Full point set at every level.)
+        pts_full = pts
+        uv_l = pts_full.uv * scale
         ref_gx_pts = ref_gy_pts = None
-        if mode == "ic" and _use_mxu_sampling():
+        if lvl == 0 and pts.gx0 is not None:
+            # Selection cached the level-0 intensity and gradients at these
+            # exact integer pixels (TrackPoints.gx0/gy0) — the bilinear
+            # reference sample here would be an expensive identity (the
+            # level-0 C=3 one-hot sampling matmul was the single largest op
+            # of the offline chunk, ~3.2 ms of 24 on v5e).
+            ref_int_l, ref_ok = pts.intensity, pts.valid
+            ref_gx_pts, ref_gy_pts = pts.gx0, pts.gy0
+        elif mode == "ic" and _use_mxu_sampling():
             # One fused C=3 reference pass (intensity + both gradients at
             # the same uv) — the one-hot sampling weights are built once
             # instead of once for the intensity and again for the gradients.
@@ -640,9 +654,9 @@ def track(
             ref_int_l, ref_ok = bilinear_sample_auto(ref.images[lvl], uv_l)
         pts_l = TrackPoints(
             uv=uv_l,
-            p3d=pts.p3d,
+            p3d=pts_full.p3d,
             intensity=ref_int_l,
-            valid=pts.valid & ref_ok,
+            valid=pts_full.valid & ref_ok,
         )
         if mode == "ic":
             out = lm_level_ic(

@@ -37,6 +37,14 @@ class TrackPoints(NamedTuple):
     p3d: jax.Array         # (N, 3) float32 camera-frame 3D points
     intensity: jax.Array   # (N,) float32 reference intensities
     valid: jax.Array       # (N,) bool
+    # Optional level-0 Scharr gradients AT the selected pixels, captured for
+    # free as sort payloads during selection (see topk_gradient_points).
+    # When present, track() skips the level-0 reference sampling pass
+    # entirely — the points sit at integer pixels of the very image the
+    # cache was read from, so the bilinear sample would return exactly
+    # these values. None for builders that don't carry them (patch/dense).
+    gx0: jax.Array | None = None   # (N,) float32 Scharr-x at uv, level 0
+    gy0: jax.Array | None = None   # (N,) float32 Scharr-y at uv, level 0
 
 
 def _depth_at(depth_image, uv, mono_z: float, max_edge_ratio: float = 1.15):
@@ -98,11 +106,29 @@ def topk_gradient_points(
     mono_z: float = 1.0,
     border: int = 4,
     block: int = 8,
+    grad_x: jax.Array | None = None,
+    grad_y: jax.Array | None = None,
 ) -> TrackPoints:
     """Select the `num_points` highest-gradient pixels, spatially spread by
     first taking the per-block argmax over `block`x`block` tiles (the TPU-native
     version of the reference's 32x32 mask grid, src/Tracker.cpp:342-359, and its
     mean+std threshold, :1324-1329 — top-k keeps shapes static).
+
+    All per-pixel values the selected points need downstream — intensity and
+    (when `grad_x`/`grad_y` are passed) the Scharr gradients — ride the
+    selection as SORT PAYLOADS instead of being re-read afterwards: the
+    points land on integer pixels, so a post-hoc bilinear sample is just an
+    expensive identity (one one-hot sampling matmul per value, ~0.8 ms per
+    96-frame chunk each on v5e). Passing the gradients lets IC tracking skip
+    its whole level-0 reference pass (see TrackPoints.gx0).
+
+    The per-block argmax itself is transpose-free: gradient magnitudes are
+    bitcast to int32 (monotone for non-negative floats) and the in-block
+    index is packed into the low 6 mantissa bits, so one max over the block
+    axes yields value AND location, and an equality test against the packed
+    max gives an exact one-hot for payload extraction (ties resolve to the
+    lowest in-block index — the same winner argmax picked). Costs 6 low
+    mantissa bits (2^-18 relative) of selection resolution.
     """
     H, W = grad_mag.shape
     # Suppress the border (warp Jacobians need in-bounds neighborhoods).
@@ -111,44 +137,65 @@ def topk_gradient_points(
     interior = (
         (row >= border) & (row < H - border) & (col >= border) & (col < W - border)
     )
-    g = jnp.where(interior, grad_mag, -1.0)
+    g = jnp.where(interior, jnp.maximum(grad_mag, 0.0), 0.0)
 
-    # Per-block argmax -> one candidate per block, then top-K across blocks.
     Hb, Wb = H // block, W // block
-    gb = g[: Hb * block, : Wb * block].reshape(Hb, block, Wb, block)
-    gb = gb.transpose(0, 2, 1, 3).reshape(Hb * Wb, block * block)
-    best_val = jnp.max(gb, axis=1)
-    best_in_block = jnp.argmax(gb, axis=1).astype(jnp.int32)
+    nb = block * block
 
-    # Top-K via a multi-operand sort that carries the block id and in-block
-    # index as payloads: top_k followed by best_in_block[top_block] would be
-    # a scattered gather, which serializes on TPU (the same pathology as
-    # gather-based bilinear sampling — this one op was ~80% of the selection
-    # kernel's 11 ms).
+    def blocks(x):
+        return x[: Hb * block, : Wb * block].reshape(Hb, block, Wb, block)
+
+    gi = jax.lax.bitcast_convert_type(blocks(g.astype(jnp.float32)), jnp.int32)
+    inner = (
+        jnp.arange(block, dtype=jnp.int32)[:, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, :]
+    )[None, :, None, :]
+    packed = (gi & ~(nb - 1)) | (nb - 1 - inner)
+    pmax = jnp.max(packed, axis=(1, 3))                      # (Hb, Wb)
+    onehot = packed == pmax[:, None, :, None]                # exactly one True
+
+    def pick(x):
+        return jnp.sum(jnp.where(onehot, blocks(x), 0.0), axis=(1, 3))
+
+    best_val = pick(g).reshape(-1)
+    best_int = pick(image).reshape(-1)
+    inner_sel = (nb - 1) - (pmax & (nb - 1))
+    by = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb), 0)
+    bx = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb), 1)
+    vv = (by * block + inner_sel // block).astype(jnp.float32).reshape(-1)
+    uu = (bx * block + inner_sel % block).astype(jnp.float32).reshape(-1)
+
+    # Top-K via a multi-operand sort that carries the pixel coordinates and
+    # per-pixel values as payloads: top_k followed by scattered gathers
+    # would serialize on TPU (the same pathology as gather-based bilinear
+    # sampling — one such gather was ~80% of the selection kernel's 11 ms).
     k = min(num_points, Hb * Wb)
-    block_ids = jnp.arange(Hb * Wb, dtype=jnp.int32)
-    neg_sorted, top_block, top_inner = jax.lax.sort(
-        (-best_val, block_ids, best_in_block), num_keys=1
-    )
-    top_val = -neg_sorted[:k]
-    top_block = top_block[:k]
-    by = top_block // Wb
-    bx = top_block % Wb
-    iy = top_inner[:k] // block
-    ix = top_inner[:k] % block
-    v = (by * block + iy).astype(jnp.float32)
-    u = (bx * block + ix).astype(jnp.float32)
+    operands = [-best_val, uu, vv, best_int]
+    if grad_x is not None:
+        operands += [pick(grad_x).reshape(-1), pick(grad_y).reshape(-1)]
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=1)
+    top_val = -sorted_ops[0][:k]
+    u, v, intensity = (o[:k] for o in sorted_ops[1:4])
     uv = jnp.stack([u, v], axis=-1)
+    gx0 = gy0 = None
+    if grad_x is not None:
+        gx0, gy0 = sorted_ops[4][:k], sorted_ops[5][:k]
     if k < num_points:  # pad to capacity
         pad = num_points - k
         uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
         top_val = jnp.concatenate([top_val, jnp.full((pad,), -1.0)])
+        intensity = jnp.concatenate([intensity, jnp.zeros((pad,), jnp.float32)])
+        if gx0 is not None:
+            zpad = jnp.zeros((pad,), jnp.float32)
+            gx0 = jnp.concatenate([gx0, zpad])
+            gy0 = jnp.concatenate([gy0, zpad])
 
     depth, dok = _depth_at(depth_image, uv, mono_z)
     p3d = cam.unproject(uv, depth)
-    intensity, iok = bilinear_sample_auto(image, uv)
-    valid = (top_val > 0) & dok & iok
-    return TrackPoints(uv=uv, p3d=p3d, intensity=intensity, valid=valid)
+    valid = (top_val > 0) & dok
+    return TrackPoints(
+        uv=uv, p3d=p3d, intensity=intensity, valid=valid, gx0=gx0, gy0=gy0
+    )
 
 
 @partial(jax.jit, static_argnames=("stride", "border"))

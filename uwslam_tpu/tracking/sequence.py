@@ -56,6 +56,7 @@ def track_sequence(
             pyr.images[0], pyr.grad_mag[0], cam,
             depth_image=depth_img, num_points=num_points,
             mono_z=mono_z, block=block,
+            grad_x=pyr.grad_x[0], grad_y=pyr.grad_y[0],
         )
         return pyr, pts
 
@@ -138,18 +139,21 @@ def track_sequence_batched(
     # per level); selection stays vmapped per frame.
     pyrs = build_pyramid_batched(frames, levels=levels)
 
-    def select(img0, gmag0, depth_img):
+    def select(img0, gmag0, gx0, gy0, depth_img):
         return topk_gradient_points(
             img0, gmag0, cam,
             depth_image=depth_img, num_points=num_points,
-            mono_z=mono_z, block=block,
+            mono_z=mono_z, block=block, grad_x=gx0, grad_y=gy0,
         )
 
     if depth_frames is not None:
-        pts = jax.vmap(select)(pyrs.images[0], pyrs.grad_mag[0], depth_frames)
+        pts = jax.vmap(select)(
+            pyrs.images[0], pyrs.grad_mag[0], pyrs.grad_x[0], pyrs.grad_y[0],
+            depth_frames,
+        )
     else:
-        pts = jax.vmap(lambda i, g: select(i, g, None))(
-            pyrs.images[0], pyrs.grad_mag[0]
+        pts = jax.vmap(lambda i, g, gx, gy: select(i, g, gx, gy, None))(
+            pyrs.images[0], pyrs.grad_mag[0], pyrs.grad_x[0], pyrs.grad_y[0]
         )
 
     ref_pyr = jax.tree.map(lambda x: x[:-1], pyrs)
