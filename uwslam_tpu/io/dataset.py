@@ -206,6 +206,13 @@ class DeviceFramePrefetcher:
                     held = None
                 yield i, (img, depth)
                 continue
+            # Ship 8-bit frames as uint8 — 4x fewer tunnel bytes than the
+            # decoded f32; the megastep casts on device (its jit already
+            # starts with astype(float32)). Decoders emit integral values
+            # for 8-bit sources, so the cast is lossless; 16-bit mono
+            # frames (max > 255) keep f32.
+            if img.dtype != np.uint8 and img.max() <= 255.0:
+                img = img.astype(np.uint8)
             dev = jax.device_put(img)
             if held is not None:
                 yield held[0], (held[1], held[2])

@@ -23,9 +23,11 @@ import numpy as np
 from .camera.calibration import Calibration
 from .camera.model import (
     PinholeCamera,
+    build_two_pass_remap,
     compute_roi,
     optimal_new_camera,
     remap_bilinear,
+    remap_two_pass,
     undistort_map,
 )
 from .config import SlamConfig
@@ -166,8 +168,19 @@ class SlamSystem:
                 cx=rect.cx - x0, cy=rect.cy - y0,
                 width=w, height=h,
             )
+            # Gather-free two-pass rectification on accelerators (the 4-tap
+            # gather remap costs ~16 ms/frame on v5e — see TwoPassRemap);
+            # CPU keeps the exact gather (cheap there, and tests pin it).
+            self._rect_fast = (
+                build_two_pass_remap(
+                    self._rect_map, src_width=raw.width, src_height=raw.height
+                )
+                if jax.default_backend() != "cpu"
+                else None
+            )
         else:
             self._rect_map = None
+            self._rect_fast = None
             # Crop to a multiple of 2^(levels-1) so pyramids divide evenly
             # (the reference requires even dims, src/System.cpp:81-89).
             div = 1 << (self.config.tracker.pyramid_levels - 1)
@@ -274,11 +287,18 @@ class SlamSystem:
 
     # ------------------------------------------------------------------ ingest
 
+    def _rectify(self, img: jax.Array) -> jax.Array:
+        """Rectify one frame: two-pass shift-blend on accelerators, exact
+        gather remap on CPU. Callers guard on self._rect_map."""
+        if self._rect_fast is not None:
+            return remap_two_pass(img, self._rect_fast)
+        return remap_bilinear(img, self._rect_map)
+
     def _ingest(self, image: np.ndarray) -> jax.Array:
         """Grayscale f32 -> rectified + cropped device image (AddFrame)."""
         img = jnp.asarray(image, jnp.float32)
         if self._rect_map is not None:
-            img = remap_bilinear(img, self._rect_map)
+            img = self._rectify(img)
         x0, y0, w, h = self._roi
         return jax.lax.dynamic_slice(img, (y0, x0), (h, w))
 
@@ -288,13 +308,14 @@ class SlamSystem:
         transfer 4x less than f32); conversion happens on device."""
         if self._fn_ingest_pyr is None:
             rect = self._rect_map
+            rectify = self._rectify
             x0, y0, w, h = self._roi
             levels = self.config.tracker.pyramid_levels
 
             def fn(img):
                 img = img.astype(jnp.float32)
                 if rect is not None:
-                    img = remap_bilinear(img, rect)
+                    img = rectify(img)
                 img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
                 return build_pyramid(img, levels=levels)
 
@@ -971,6 +992,7 @@ class SlamSystem:
         26-float diag readback retired a few frames late."""
         if self._fn_step_plain is None:
             rect = self._rect_map
+            rectify = self._rectify
             x0, y0, w, h = self._roi
             n_levels = self.config.tracker.pyramid_levels
             cam = self.cam
@@ -979,7 +1001,7 @@ class SlamSystem:
             def fn(img, prev_pyr, prev_pts, T_init, T_wc, T_ref, corr):
                 img = img.astype(jnp.float32)
                 if rect is not None:
-                    img = remap_bilinear(img, rect)
+                    img = rectify(img)
                 img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
                 pyr = build_pyramid(img, levels=n_levels)
                 out = track(
@@ -1040,6 +1062,7 @@ class SlamSystem:
             from .tracking.depth_prior import sample_prior
 
             rect = self._rect_map
+            rectify = self._rectify
             x0, y0, w, h = self._roi
             n_levels = self.config.tracker.pyramid_levels
             cam = self.cam
@@ -1055,7 +1078,7 @@ class SlamSystem:
                 key = jrandom.PRNGKey(fid)
                 img = img.astype(jnp.float32)
                 if rect is not None:
-                    img = remap_bilinear(img, rect)
+                    img = rectify(img)
                 img = jax.lax.dynamic_slice(img, (y0, x0), (h, w))
                 pyr = build_pyramid(img, levels=n_levels)
                 kps = detect_multiscale(
