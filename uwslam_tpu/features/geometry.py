@@ -14,11 +14,12 @@ import jax.numpy as jnp
 
 from ..lie import se3
 from ..utils.precision import HIGHEST
+from ..utils.linalg import smallest_eigvec_spd, svd3
 
 
 def decompose_essential(E: jax.Array):
     """E -> four candidate (R, t) pairs. t is unit-norm (monocular scale)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3(E)
     # Ensure proper rotations.
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
@@ -49,9 +50,11 @@ def triangulate_linear(
                 xb[1] * Pb[2] - Pb[1],
             ]
         )  # (4, 4)
+        # Inverse-power iteration (utils.linalg): jnp.linalg.eigh lowers
+        # to the unfusable EighTpu custom call — ~2.2 ms/frame for the 768
+        # vmapped triangulations in the boot megastep.
         AtA = jnp.einsum("mi,mj->ij", rows, rows, precision=HIGHEST)
-        _, V = jnp.linalg.eigh(AtA)
-        X = V[:, 0]
+        X = smallest_eigvec_spd(AtA)
         return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
 
     return jax.vmap(tri_one)(xy_a, xy_b)

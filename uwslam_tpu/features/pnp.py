@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 from ..lie import se3
 from ..utils.precision import HIGHEST
+from ..utils.linalg import (
+    cholesky_solve_unrolled,
+    smallest_eigvec_spd,
+    svd3,
+    sym3_eigh,
+)
 
 
 class PnPResult(NamedTuple):
@@ -39,12 +45,13 @@ def _dlt_pose(p3d: jax.Array, xy: jax.Array, w: jax.Array):
     rows_v = jnp.concatenate([zero, X, -y * X], axis=-1)
     A = jnp.concatenate([rows_u * w[:, None], rows_v * w[:, None]], axis=0)
     AtA = jnp.einsum("mi,mj->ij", A, A, precision=HIGHEST)
-    _, V = jnp.linalg.eigh(AtA)
-    P = V[:, 0].reshape(3, 4)
+    # Fusable null-vector extraction (utils.linalg) — jnp.linalg.eigh
+    # lowers to the unfusable EighTpu custom call.
+    P = smallest_eigvec_spd(AtA).reshape(3, 4)
     M, m = P[:, :3], P[:, 3]
     # Nearest rotation: R = U Vt; scale from singular values; cheirality by
     # requiring positive mean depth over the (weighted) points.
-    U, S, Vt = jnp.linalg.svd(M)
+    U, S, Vt = svd3(M)
     d = jnp.sign(jnp.linalg.det(U @ Vt))
     R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d])) @ Vt
     scale = jnp.mean(S) * d
@@ -54,7 +61,7 @@ def _dlt_pose(p3d: jax.Array, xy: jax.Array, w: jax.Array):
     R = jnp.where(flip, -R, R)  # (-R, -t) also satisfies the DLT equations
     t = jnp.where(flip, -t, t)
     # -R is not a rotation (det=-1): re-project onto SO(3).
-    Ur, _, Vtr = jnp.linalg.svd(R)
+    Ur, _, Vtr = svd3(R)
     Dr = jnp.diag(jnp.array([1.0, 1.0, jnp.sign(jnp.linalg.det(Ur @ Vtr))]))
     R = Ur @ Dr @ Vtr
     return se3.from_rotation_translation(R, t)
@@ -73,7 +80,7 @@ def _planar_poses(p3d: jax.Array, xy: jax.Array):
     c = p3d.mean(axis=0)
     Q = p3d - c
     C = jnp.einsum("mi,mj->ij", Q, Q, precision=HIGHEST)
-    _, V = jnp.linalg.eigh(C)
+    _, V = sym3_eigh(C)
     e1, e2 = V[:, 2], V[:, 1]        # in-plane basis (largest variance)
     uv_pl = jnp.stack([Q @ e1, Q @ e2], axis=-1)  # (M, 2) plane coords
 
@@ -86,8 +93,7 @@ def _planar_poses(p3d: jax.Array, xy: jax.Array):
     rows_y = jnp.stack([zero, zero, zero, u, v, one, -y * u, -y * v, -y], -1)
     A = jnp.concatenate([rows_x, rows_y], axis=0)
     AtA = jnp.einsum("mi,mj->ij", A, A, precision=HIGHEST)
-    _, Vh = jnp.linalg.eigh(AtA)
-    H = Vh[:, 0].reshape(3, 3)
+    H = smallest_eigvec_spd(AtA).reshape(3, 3)
 
     def pose_from(lam):
         r1 = lam * H[:, 0]
@@ -95,7 +101,7 @@ def _planar_poses(p3d: jax.Array, xy: jax.Array):
         t_pl = lam * H[:, 2]
         # Orthogonalize [r1 r2 r1xr2] -> nearest rotation.
         Rp = jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=-1)
-        U, _, Vt = jnp.linalg.svd(Rp)
+        U, _, Vt = svd3(Rp)
         D = jnp.diag(
             jnp.array([1.0, 1.0, jnp.sign(jnp.linalg.det(U @ Vt))])
         )
@@ -156,7 +162,7 @@ def _gn_polish_pose(
         wr = jnp.repeat(vw * jnp.where(d < t2, 1.0 / (1.0 + d / t2), 0.0), 2)
         A = jnp.einsum("ki,k,kj->ij", J, wr, J, precision=HIGHEST)
         g = jnp.einsum("ki,k->i", J, wr * r, precision=HIGHEST)
-        xi = -jnp.linalg.solve(A + 1e-8 * jnp.eye(6), g)
+        xi = -cholesky_solve_unrolled(A + 1e-8 * jnp.eye(6), g)
         T_new = se3.normalize(se3.compose(T, se3.exp(xi)))
         s = score(T_new)
         better = s <= best_s

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 
 from ..lie import so3
 from ..utils.precision import HIGHEST
+from ..utils.linalg import (
+    cholesky_solve_unrolled,
+    smallest_eigvec_spd,
+    svd3,
+    sym3_eigh,
+)
 
 RANSAC_THRESH_PX = 3.0   # reference src/Tracker.cpp:150
 NUM_HYPOTHESES = 256     # > log(1-0.99)/log(1-0.5^8) ≈ 1177 for 50% outliers;
@@ -65,15 +71,18 @@ def _eight_point(pa: jax.Array, pb: jax.Array, w: jax.Array) -> jax.Array:
     A = jnp.stack(
         [xb * xa, xb * ya, xb, yb * xa, yb * ya, yb, xa, ya, one], axis=-1
     ) * w[:, None]
-    # min |Af|: eigenvector of A^T A with smallest eigenvalue.
+    # min |Af|: eigenvector of A^T A with smallest eigenvalue. Inverse-power
+    # iteration instead of jnp.linalg.eigh — the EighTpu custom call cannot
+    # fuse and cost ~3.8 ms/frame for the 256 vmapped hypotheses (utils.linalg).
     AtA = jnp.einsum("mi,mj->ij", A, A, precision=HIGHEST)
-    _, V = jnp.linalg.eigh(AtA)
-    f = V[:, 0]
+    f = smallest_eigvec_spd(AtA)
     F = f.reshape(3, 3)
-    # Rank-2 enforcement.
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[2].set(0.0)
-    return (U * S[None, :]) @ Vt
+    # Rank-2 enforcement WITHOUT an SVD: F = U S V^T => F v3 = s3 u3, so
+    # dropping the smallest singular value is F (I - v3 v3^T) with v3 the
+    # smallest eigenvector of F^T F (closed form for symmetric 3x3).
+    _, Vf = sym3_eigh(jnp.einsum("ji,jk->ik", F, F, precision=HIGHEST))
+    v3 = Vf[:, 0]
+    return F - jnp.outer(F @ v3, v3)
 
 
 def sampson_distance(F: jax.Array, uv_a: jax.Array, uv_b: jax.Array):
@@ -90,7 +99,7 @@ def sampson_distance(F: jax.Array, uv_a: jax.Array, uv_b: jax.Array):
 
 def _project_essential(F: jax.Array) -> jax.Array:
     """Project onto the essential manifold: singular values -> (s, s, 0)."""
-    U, S, Vt = jnp.linalg.svd(F)
+    U, S, Vt = svd3(F)
     s = 0.5 * (S[0] + S[1])
     return (U * jnp.array([s, s, 0.0])[None, :]) @ Vt
 
@@ -98,7 +107,7 @@ def _project_essential(F: jax.Array) -> jax.Array:
 def _decompose_rt(E: jax.Array):
     """One (R, t) with [t]x R proportional to E (Sampson is sign-invariant,
     so any of the four decompositions parameterizes the same manifold point)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = svd3(E)
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
@@ -169,7 +178,12 @@ def _gn_polish_essential(
         wrob = vw * jnp.where(d < t2, 1.0 / (1.0 + d / t2), 0.0)
         A = jnp.einsum("ki,k,kj->ij", J, wrob, J, precision=HIGHEST)
         g = jnp.einsum("ki,k->i", J, wrob * r, precision=HIGHEST)
-        delta = -jnp.linalg.solve(A + 1e-8 * jnp.eye(5), g)
+        # Unrolled Cholesky (utils.linalg): jnp.linalg.solve on this 5x5
+        # GN normal matrix lowered to an unfusable TPU custom call (~3.8
+        # ms/frame across the vmapped hypotheses). A + ridge is SPD.
+        delta = -cholesky_solve_unrolled(
+            A + 1e-8 * jnp.eye(5) + 1e-10 * jnp.trace(A) * jnp.eye(5), g
+        )
         w, a = delta[:3], delta[3:]
         Rn = R @ so3.exp(w)
         tn = t + a[0] * b1 + a[1] * b2
@@ -279,7 +293,7 @@ def _ransac_core(
         # model, then keep the best final score.
         Rs, ts = jax.vmap(_decompose_rt)(F_ref)
         jbest = jnp.argmax(-score_ref)
-        U, _, Vt = jnp.linalg.svd(F_ref[jbest])
+        U, _, Vt = svd3(F_ref[jbest])
         U = U * jnp.sign(jnp.linalg.det(U))
         Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
         W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])

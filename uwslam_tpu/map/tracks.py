@@ -179,9 +179,12 @@ class TrackGraph:
         Mp = max(M, max_poses or M)
         T_cw_p = np.tile(np.eye(4, dtype=np.float32), (Mp, 1, 1))
         T_cw_p[:M] = np.asarray(T_cw, np.float32)
-        T_wc = np.stack(
-            [np.asarray(se3.inverse(jnp.asarray(t))) for t in T_cw_p[:M]]
-        )
+        # Pure-numpy SE(3) inverses: the jnp round trip per pose costs a
+        # device dispatch + transfer each through a remote-TPU tunnel.
+        Rm = T_cw_p[:M, :3, :3]
+        T_wc = np.tile(np.eye(4, dtype=np.float32), (M, 1, 1))
+        T_wc[:, :3, :3] = Rm.transpose(0, 2, 1)
+        T_wc[:, :3, 3] = -np.einsum("nji,nj->ni", Rm, T_cw_p[:M, :3, 3])
 
         pts = np.zeros((max_landmarks, 3), np.float32)
         obs_kf = np.zeros(max_obs, np.int32)

@@ -970,6 +970,19 @@ class SlamSystem:
         return out
 
     @staticmethod
+    def _np_inv_se3_batch(Ts: np.ndarray) -> np.ndarray:
+        """(N, 4, 4) SE(3) inverse in pure numpy — the per-pose
+        se3.inverse-then-np.asarray pattern costs one device round trip
+        PER POSE through the remote tunnel (~24 ms each; a 10-keyframe
+        window BA dispatch was paying ~240 ms of host time on it)."""
+        Ts = np.asarray(Ts, np.float32)
+        R = Ts[:, :3, :3]
+        out = np.tile(np.eye(4, dtype=np.float32), (Ts.shape[0], 1, 1))
+        out[:, :3, :3] = R.transpose(0, 2, 1)
+        out[:, :3, 3] = -np.einsum("nji,nj->ni", R, Ts[:, :3, 3])
+        return out
+
+    @staticmethod
     def _np_rel_log(T_ref: np.ndarray, T_wc: np.ndarray) -> np.ndarray:
         """Host-side stand-in for log(T_ref^-1 T_wc) carrying the two norms
         the keyframe policy reads (|t| and rotation angle) — numpy only, so
@@ -1905,8 +1918,10 @@ class SlamSystem:
             return
         kf_ids = [k.frame_id for k in kfs]
         self._tracks.prune_outside_window(set(kf_ids))
-        T_cw = np.stack(
-            [np.asarray(se3.inverse(k.T_wc)) for k in kfs]
+        # ONE device pull for the whole window, inverses in numpy (per-pose
+        # se3.inverse round trips dominated the dispatch cost via the tunnel).
+        T_cw = self._np_inv_se3_batch(
+            np.asarray(jnp.stack([k.T_wc for k in kfs]))
         )
         built = self._tracks.build_problem(
             kf_ids, T_cw, self.cam,
@@ -2123,11 +2138,8 @@ class SlamSystem:
                         if 0 <= a < len(hist) and 0 <= b < len(hist) and a < b:
                             _match_pair(hist[a], hist[b])
         kf_ids = [int(h[0]) for h in hist]
-        T_cw = np.stack(
-            [
-                np.asarray(se3.inverse(jnp.asarray(self._kf_poses[i])))
-                for i in kf_ids
-            ]
+        T_cw = self._np_inv_se3_batch(
+            np.stack([self._kf_poses[i] for i in kf_ids])
         )
         # Landmark seeds: each keyframe's keypoint 3D (depth-bootstrap prior
         # or RGBD), recorded at keyframe time in the keyframe's CAMERA frame.
@@ -2194,8 +2206,9 @@ class SlamSystem:
             and float(out.cost) <= float(out.initial_cost)
         )
         if improved:
+            T_wc_all = self._np_inv_se3_batch(np.asarray(out.T_cw))
             for i, fid in enumerate(kf_ids):
-                self._kf_poses[fid] = np.asarray(se3.inverse(out.T_cw[i]))
+                self._kf_poses[fid] = T_wc_all[i]
             kfs = self.keyframes.keyframes
             for i, k in enumerate(kfs):
                 Tn = self._kf_poses.get(k.frame_id)
