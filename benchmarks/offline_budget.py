@@ -140,17 +140,25 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps_pipe = passes * (num_frames - 1) / dt
 
-    print(
-        json.dumps(
-            {
-                "device": str(jax.devices()[0]),
-                "budget": rows,
-                "fps_serial": round(fps_serial, 1),
-                "fps_pipelined": round(fps_pipe, 1),
-            },
-            indent=1,
-        )
-    )
+    out = {
+        "device": str(jax.devices()[0]),
+        "note": (
+            "Isolated stages pay ~20-25 ms of remote-tunnel dispatch "
+            "latency each and (for the pyramid row) a large host "
+            "transfer; the trustworthy per-op budget is the profiler "
+            "trace attribution recorded in the round-5 commit messages. "
+            "fps_pipelined is the BENCH-contract number's substrate."
+        ),
+        "budget": rows,
+        "fps_serial": round(fps_serial, 1),
+        "fps_pipelined": round(fps_pipe, 1),
+    }
+    print(json.dumps(out, indent=1))
+    if "--out" in sys.argv:
+        path = sys.argv[sys.argv.index("--out") + 1]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -157,7 +157,7 @@ def run_curve(problem, cam, O, M, L, label, solver="auto"):
         comm_bytes = 4 * (M * M * 36 + M * 36 + 2 * M * 6 + 4)
         comm_note = "per LM iter (S_red dominates, O(M^2))"
 
-    def timed(prob, mesh):
+    def timed(prob, mesh, reps: int = 3):
         def run():
             t0 = time.perf_counter()
             out = distributed_bundle_adjust(
@@ -168,7 +168,12 @@ def run_curve(problem, cam, O, M, L, label, solver="auto"):
             it = int(out.iterations)  # device sync
             return out, it, time.perf_counter() - t0
         run()                        # compile
-        return run()                 # steady state
+        # Median of `reps` steady-state runs: single-shot timings on the
+        # shared-core virtual substrate scattered work_division_pct by
+        # +/-30% (round-4 curve) whenever anything else touched the host.
+        results = [run() for _ in range(reps)]
+        results.sort(key=lambda r: r[2])
+        return results[len(results) // 2]
 
     rows = []
     t1 = None

@@ -731,11 +731,17 @@ def run_ba_value_study(args) -> int:
                 "--mono-depth", "2.5", "--features", "--depth-bootstrap"]
         print(f"seed {seed}: with BA", flush=True)
         with_ba = run_cli(base + ["--ba"])
+        # Prior-stiffness arm (VERDICT r4 next #9 asked WHY the window solve
+        # adds so little; hypothesis: pose_prior_weight=1e5 pins the window
+        # to odometry so tightly the reprojection term can barely move it).
+        print(f"seed {seed}: with BA, soft prior", flush=True)
+        with_soft = run_cli(base + ["--ba", "--ba-prior-weight", "1e3"])
         print(f"seed {seed}: without BA", flush=True)
         without = run_cli(base)
         rows.append({
             "seed": seed,
             "ate_with_ba": with_ba.get("ate_rmse_m"),
+            "ate_with_ba_soft_prior": with_soft.get("ate_rmse_m"),
             "ate_without_ba": without.get("ate_rmse_m"),
             "fps_warm_with_ba": with_ba.get("fps_warm"),
             "fps_warm_without_ba": without.get("fps_warm"),
@@ -745,14 +751,25 @@ def run_ba_value_study(args) -> int:
     ok = [r for r in rows
           if r["ate_with_ba"] is not None and r["ate_without_ba"] is not None]
     imp = [1.0 - r["ate_with_ba"] / r["ate_without_ba"] for r in ok]
+    imp_soft = [
+        1.0 - r["ate_with_ba_soft_prior"] / r["ate_without_ba"]
+        for r in rows
+        if r.get("ate_with_ba_soft_prior") is not None
+        and r["ate_without_ba"] is not None
+    ]
     out = {
         "note": "config-4 arg set +/- --ba over 3 dataset seeds "
                 "(EUROC V101 stand-in geometry, different texture/noise/"
-                "photometric draws). improvement = 1 - ate_with/ate_without.",
+                "photometric draws). improvement = 1 - ate_with/ate_without. "
+                "soft_prior arm: --ba-prior-weight 1e3 (default 1e5) — the "
+                "prior-stiffness probe.",
         "rows": rows,
         "improvement_mean": round(float(sum(imp) / max(len(imp), 1)), 4),
         "improvement_min": round(min(imp), 4) if imp else None,
         "improvement_max": round(max(imp), 4) if imp else None,
+        "improvement_soft_prior_mean": round(
+            float(sum(imp_soft) / max(len(imp_soft), 1)), 4
+        ) if imp_soft else None,
     }
     path = os.path.join(REPO, f"BA_VALUE_r{args.round:02d}.json")
     with open(path, "w") as f:

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(BASELINE config 2)")
     p.add_argument("--ba", action="store_true",
                    help="sliding-window bundle adjustment (BASELINE config 4)")
+    p.add_argument("--ba-prior-weight", type=float, default=None,
+                   help="window-BA pose-prior information weight anchoring "
+                        "window poses to tracked odometry (default "
+                        "BAConfig.pose_prior_weight; lower = BA trusts its "
+                        "reprojection residuals more)")
     p.add_argument("--photo-ba", action="store_true",
                    help="direct photometric window BA over keyframe pyramids "
                         "(the cost the reference's Ceres scaffolding "
@@ -372,6 +377,11 @@ def main(argv=None) -> int:
 
     if args.photo_ba:
         config = replace(config, ba=replace(config.ba, photometric=True))
+    if args.ba_prior_weight is not None:
+        config = replace(
+            config,
+            ba=replace(config.ba, pose_prior_weight=args.ba_prior_weight),
+        )
     if args.loop_se3:
         config = replace(config, loop=replace(config.loop, use_sim3=False))
     if args.reference_mode:

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..lie import se3
 from ..utils.precision import HIGHEST
-from ..utils.linalg import smallest_eigvec_spd, svd3
+from ..utils.linalg import cholesky_solve_unrolled, svd3
 
 
 def decompose_essential(E: jax.Array):
@@ -50,12 +50,23 @@ def triangulate_linear(
                 xb[1] * Pb[2] - Pb[1],
             ]
         )  # (4, 4)
-        # Inverse-power iteration (utils.linalg): jnp.linalg.eigh lowers
-        # to the unfusable EighTpu custom call — ~2.2 ms/frame for the 768
-        # vmapped triangulations in the boot megastep.
-        AtA = jnp.einsum("mi,mj->ij", rows, rows, precision=HIGHEST)
-        X = smallest_eigvec_spd(AtA)
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+        # Inhomogeneous DLT: fix X = [x, y, z, 1] and solve the 3x3 normal
+        # equations by unrolled Cholesky (utils.linalg) — deterministic,
+        # fully fusable, no eigenproblem. The homogeneous eigh route lowers
+        # to the unfusable EighTpu custom call (~2.2 ms/frame for the 768
+        # vmapped triangulations in the boot megastep), and a fused
+        # inverse-iteration replacement proved selection-chaotic on
+        # near-degenerate low-parallax points. Points at infinity make A
+        # singular here; the ridge turns them into huge depths that the
+        # callers' max_depth gates already reject.
+        A3 = rows[:, :3]
+        b3 = rows[:, 3]
+        AtA = jnp.einsum("mi,mj->ij", A3, A3, precision=HIGHEST)
+        Atb = jnp.einsum("mi,m->i", A3, b3, precision=HIGHEST)
+        ridge = 1e-9 * jnp.trace(AtA) + 1e-12
+        return cholesky_solve_unrolled(
+            AtA + ridge * jnp.eye(3, dtype=AtA.dtype), -Atb
+        )
 
     return jax.vmap(tri_one)(xy_a, xy_b)
 

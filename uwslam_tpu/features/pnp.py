@@ -48,6 +48,15 @@ def _dlt_pose(p3d: jax.Array, xy: jax.Array, w: jax.Array):
     # Fusable null-vector extraction (utils.linalg) — jnp.linalg.eigh
     # lowers to the unfusable EighTpu custom call.
     P = smallest_eigvec_spd(AtA).reshape(3, 4)
+    # Resolve the null vector's arbitrary global sign by cheirality BEFORE
+    # factorization: with P = -sigma*R the "nearest rotation" problem is
+    # DEGENERATE (det < 0 with equal singular values has a continuum of
+    # minimizers), so U diag(1,1,-1) V^T depends on the SVD's internal
+    # basis choice — LAPACK's happened to work, the fused svd3's didn't.
+    # With the sign fixed the factorization is continuous and unique.
+    depth = p3d @ P[2, :3] + P[2, 3]
+    s_z = jnp.sum(jnp.where(w > 0, jnp.sign(depth), 0.0))
+    P = P * jnp.where(s_z < 0, -1.0, 1.0)
     M, m = P[:, :3], P[:, 3]
     # Nearest rotation: R = U Vt; scale from singular values; cheirality by
     # requiring positive mean depth over the (weighted) points.

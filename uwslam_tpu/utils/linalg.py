@@ -9,9 +9,13 @@ closed form or a fast fixed-point iteration, so this module provides
 fusable, batch-broadcasting replacements:
 
 - cholesky_solve_unrolled: statically-unrolled SPD solve (any small n)
-- smallest_eigvec_spd: inverse-power iteration (smallest eigenvector)
-- sym3_eigh: closed-form symmetric 3x3 eigendecomposition (Cardano)
+- smallest_eigvec_spd: 2-vector inverse subspace iteration + Rayleigh-Ritz
+- sym3_eigh: unrolled cyclic-Jacobi symmetric 3x3 eigendecomposition
 - svd3: 3x3 SVD built on sym3_eigh
+
+NOTE: this rig pins default matmul precision to bf16 — every einsum here
+passes precision=HIGHEST (an unqualified FtF einsum measured 7.7e-3
+absolute error, which silently destroyed low-parallax geometry).
 
 All support leading batch dims and never leave XLA fusion land.
 """
@@ -19,6 +23,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .precision import HIGHEST
 
 
 def cholesky_solve_unrolled(A: jax.Array, b: jax.Array) -> jax.Array:
@@ -55,91 +61,147 @@ def cholesky_solve_unrolled(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
-def smallest_eigvec_spd(A: jax.Array, iters: int = 10) -> jax.Array:
+def smallest_eigvec_spd(A: jax.Array, iters: int = 8) -> jax.Array:
     """Unit eigenvector of the smallest eigenvalue of a small symmetric
-    PSD matrix (..., n, n) via inverse-power iteration.
+    PSD matrix (..., n, n) via 2-vector inverse subspace iteration with a
+    closed-form Rayleigh-Ritz extraction.
 
-    Each step solves (A + eps*tr(A)*I) x = x_prev with the unrolled
-    Cholesky and renormalizes — everything fuses. Convergence is geometric
-    in lambda_min/lambda_2; for least-squares null-vector extraction
-    (8-point F, DLT triangulation) the gap is healthy and `iters`=10 is
-    far past f32 resolution. With a (near-)degenerate smallest pair the
-    result lands in their span — exactly what an LS consumer wants."""
+    Each step solves (A + eps*tr(A)*I) X = X_prev with the unrolled
+    Cholesky and re-orthogonalizes — everything fuses. Plain single-vector
+    inverse iteration converges like (λ1/λ2)^k, which stalls exactly in
+    the case SLAM triangulation hits constantly: a low-parallax two-view
+    DLT whose two smallest eigenvalues are both tiny (depth barely
+    constrained). Tracking a 2-D subspace converges like (λ2/λ3)^k
+    instead, and the final 2x2 Rayleigh-Ritz problem (closed form)
+    separates the true smallest direction inside it."""
     n = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
     ridge = 1e-7 * tr + 1e-30
     Ar = A + ridge * jnp.eye(n, dtype=A.dtype)
-    # Deterministic start with components along every axis.
+    # Deterministic starts with components along every axis.
     x = jnp.ones(A.shape[:-2] + (n,), A.dtype) + 1e-2 * jnp.arange(
         n, dtype=A.dtype
     )
+    y = jnp.ones(A.shape[:-2] + (n,), A.dtype) * jnp.where(
+        jnp.arange(n) % 2 == 0, 1.0, -1.0
+    ) + 3e-2 * jnp.arange(n, dtype=A.dtype)
+
+    def _orth(x, y):
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-30)
+        y = y - jnp.sum(x * y, axis=-1, keepdims=True) * x
+        ny = jnp.linalg.norm(y, axis=-1, keepdims=True)
+        # Collapse guard: restart y off-axis from x.
+        alt = jnp.roll(x, 1, axis=-1) * jnp.where(
+            jnp.arange(n) % 2 == 0, 1.0, -1.0
+        )
+        alt = alt - jnp.sum(x * alt, axis=-1, keepdims=True) * x
+        alt = alt / jnp.linalg.norm(alt, axis=-1, keepdims=True).clip(1e-30)
+        return x, jnp.where(ny > 1e-12, y / ny.clip(1e-30), alt)
+
+    x, y = _orth(x, y)
     for _ in range(iters):
         x = cholesky_solve_unrolled(Ar, x)
-        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-30)
-    return x
+        y = cholesky_solve_unrolled(Ar, y)
+        x, y = _orth(x, y)
+    # Rayleigh-Ritz on span{x, y}: closed-form smallest eigvec of the 2x2
+    # projected matrix [[a, b], [b, c]].
+    Ax = jnp.einsum("...ij,...j->...i", A, x, precision=HIGHEST)
+    Ay = jnp.einsum("...ij,...j->...i", A, y, precision=HIGHEST)
+    a = jnp.sum(x * Ax, axis=-1)
+    b = jnp.sum(x * Ay, axis=-1)
+    c = jnp.sum(y * Ay, axis=-1)
+    # Smallest eigenvalue of [[a,b],[b,c]]; eigenvector via the better-
+    # conditioned of the two row equations.
+    diff = 0.5 * (a - c)
+    lam = 0.5 * (a + c) - jnp.sqrt(diff * diff + b * b)
+    # (a - lam) alpha + b beta = 0  ->  (alpha, beta) ~ (b, lam - a)
+    # b alpha + (c - lam) beta = 0  ->  (alpha, beta) ~ (lam - c, b)
+    use1 = jnp.abs(a - lam) >= jnp.abs(c - lam)
+    alpha = jnp.where(use1, b, lam - c)
+    beta = jnp.where(use1, lam - a, b)
+    nrm = jnp.sqrt(alpha * alpha + beta * beta)
+    # Degenerate 2x2 (b ~ 0, a ~ c): x and y are both eigenvectors — keep x.
+    alpha = jnp.where(nrm > 1e-20, alpha / nrm.clip(1e-30), 1.0)
+    beta = jnp.where(nrm > 1e-20, beta / nrm.clip(1e-30), 0.0)
+    v = alpha[..., None] * x + beta[..., None] * y
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-30)
 
 
-def sym3_eigh(A: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Closed-form eigendecomposition of a symmetric 3x3 (..., 3, 3).
+def sym3_eigh(A: jax.Array, sweeps: int = 6) -> tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of a symmetric 3x3 (..., 3, 3) by statically-
+    unrolled cyclic Jacobi.
 
     Returns (w, V) with eigenvalues ASCENDING (jnp.linalg.eigh order) and
-    V[..., :, i] the unit eigenvector of w[..., i]. Eigenvalues by the
-    trigonometric (Cardano) formula; eigenvectors by cross products of
-    the two best-conditioned rows of (A - w I), with a robust fallback
-    through orthogonalization for (near-)repeated eigenvalues."""
-    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
-    B = A - q[..., None, None] * jnp.eye(3, dtype=A.dtype)
-    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
-    detB = jnp.linalg.det(B)
-    r = jnp.clip(detB / (2.0 * p**3).clip(1e-30), -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    # w0 >= w1 >= w2 by construction of the cosine branches.
-    w0 = q + 2.0 * p * jnp.cos(phi)
-    w2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
-    w1 = 3.0 * q - w0 - w2
-    w_desc = jnp.stack([w0, w1, w2], axis=-1)
+    V[..., :, i] the unit eigenvector of w[..., i]. Jacobi converges
+    quadratically — `sweeps`=6 reaches f32 machine precision — and every
+    rotation is pure elementwise math that fuses, unlike the EighTpu
+    custom call. (A closed-form Cardano+cross-product version measured
+    ~1e-3 eigenvector error in f32 — enough to poison low-parallax
+    two-view geometry; Jacobi gets ~1e-7.)"""
+    a00 = A[..., 0, 0]
+    a01 = A[..., 0, 1]
+    a02 = A[..., 0, 2]
+    a11 = A[..., 1, 1]
+    a12 = A[..., 1, 2]
+    a22 = A[..., 2, 2]
+    d = [a00, a11, a22]
+    o = {(0, 1): a01, (0, 2): a02, (1, 2): a12}
+    one = jnp.ones_like(a00)
+    zero = jnp.zeros_like(a00)
+    V = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
 
-    def eigvec(w):
-        M = A - w[..., None, None] * jnp.eye(3, dtype=A.dtype)
-        r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
-        c01 = jnp.cross(r0, r1)
-        c12 = jnp.cross(r1, r2)
-        c20 = jnp.cross(r2, r0)
-        n01 = jnp.sum(c01 * c01, axis=-1, keepdims=True)
-        n12 = jnp.sum(c12 * c12, axis=-1, keepdims=True)
-        n20 = jnp.sum(c20 * c20, axis=-1, keepdims=True)
-        best = jnp.where(
-            n01 >= jnp.maximum(n12, n20), c01,
-            jnp.where(n12 >= n20, c12, c20),
+    def rot(p, q, r):
+        """Zero out o[(p,q)] with a Givens rotation; update row/col r."""
+        apq = o[(p, q)]
+        tau = (d[q] - d[p]) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+        # sign(0) = 0 would stall the 45-degree case (equal diagonals,
+        # nonzero off-diagonal) — use a zero-free sign.
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(apq == 0, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        dp = d[p] - t * apq
+        dq = d[q] + t * apq
+        d[p], d[q] = dp, dq
+        o[(p, q)] = jnp.zeros_like(apq)
+        # remaining off-diagonals touching p or q (r is the third index)
+        arp = o[(min(r, p), max(r, p))]
+        arq = o[(min(r, q), max(r, q))]
+        o[(min(r, p), max(r, p))] = c * arp - s * arq
+        o[(min(r, q), max(r, q))] = s * arp + c * arq
+        for i in range(3):
+            vip, viq = V[i][p], V[i][q]
+            V[i][p] = c * vip - s * viq
+            V[i][q] = s * vip + c * viq
+
+    for _ in range(sweeps):
+        rot(0, 1, 2)
+        rot(0, 2, 1)
+        rot(1, 2, 0)
+
+    # Ascending sort of the 3 (eigenvalue, column) pairs via an explicit
+    # swap network (argsort would lower to a sort custom call).
+    cols = [[V[0][j], V[1][j], V[2][j]] for j in range(3)]
+
+    def swap(j, k):
+        lt = d[j] <= d[k]
+        d[j], d[k] = (
+            jnp.where(lt, d[j], d[k]), jnp.where(lt, d[k], d[j])
         )
-        nb = jnp.maximum(n01, jnp.maximum(n12, n20))
-        return best / jnp.sqrt(nb.clip(1e-30)), nb[..., 0]
+        for r in range(3):
+            cj, ck = cols[j][r], cols[k][r]
+            cols[j][r] = jnp.where(lt, cj, ck)
+            cols[k][r] = jnp.where(lt, ck, cj)
 
-    v0, q0 = eigvec(w0)
-    v2, q2 = eigvec(w2)
-    # Pick the better-conditioned pair first, complete with orthogonality:
-    # repeated-eigenvalue planes make one cross-product degenerate, never
-    # both extremes at once (a fully degenerate A = c*I has any basis).
-    v2 = v2 - jnp.sum(v2 * v0, axis=-1, keepdims=True) * v0
-    n2 = jnp.linalg.norm(v2, axis=-1, keepdims=True)
-    # Fallback for v2 collapsing onto v0: any vector orthogonal to v0.
-    alt = jnp.cross(v0, jnp.stack(
-        [jnp.ones_like(q0), jnp.zeros_like(q0), jnp.zeros_like(q0)], axis=-1
-    ))
-    alt2 = jnp.cross(v0, jnp.stack(
-        [jnp.zeros_like(q0), jnp.ones_like(q0), jnp.zeros_like(q0)], axis=-1
-    ))
-    altn = jnp.linalg.norm(alt, axis=-1, keepdims=True)
-    alt = jnp.where(altn > 0.1, alt / altn.clip(1e-30),
-                    alt2 / jnp.linalg.norm(alt2, axis=-1, keepdims=True
-                                           ).clip(1e-30))
-    v2 = jnp.where(n2 > 1e-6, v2 / n2.clip(1e-30), alt)
-    v1 = jnp.cross(v2, v0)
-    V_desc = jnp.stack([v0, v1, v2], axis=-1)
-    # Ascending order to match jnp.linalg.eigh.
-    w_asc = w_desc[..., ::-1]
-    V_asc = V_desc[..., ::-1]
+    swap(0, 1)
+    swap(1, 2)
+    swap(0, 1)
+    w_asc = jnp.stack(d, axis=-1)
+    V_asc = jnp.stack(
+        [jnp.stack([cols[j][r] for j in range(3)], axis=-1) for r in range(3)],
+        axis=-2,
+    )
     return w_asc, V_asc
 
 
@@ -152,20 +214,31 @@ def svd3(F: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     for the rank-2 matrices this framework decomposes — E and F — and
     correct for full-rank inputs up to the sign conventions SVD leaves
     free anyway)."""
-    FtF = jnp.einsum("...ji,...jk->...ik", F, F)
-    w, V = sym3_eigh(FtF)            # ascending
-    s = jnp.sqrt(jnp.clip(w[..., ::-1], 0.0, None))   # descending
+    FtF = jnp.einsum("...ji,...jk->...ik", F, F, precision=HIGHEST)
+    _, V = sym3_eigh(FtF)            # ascending
     Vd = V[..., ::-1]                # columns by descending singular value
-    u0 = jnp.einsum("...ij,...j->...i", F, Vd[..., :, 0])
-    u1 = jnp.einsum("...ij,...j->...i", F, Vd[..., :, 1])
+    u0 = jnp.einsum("...ij,...j->...i", F, Vd[..., :, 0], precision=HIGHEST)
+    u1 = jnp.einsum("...ij,...j->...i", F, Vd[..., :, 1], precision=HIGHEST)
+    u2f = jnp.einsum("...ij,...j->...i", F, Vd[..., :, 2], precision=HIGHEST)
+    # Singular values as ||F v_i|| (exact for right singular vectors) —
+    # sqrt(eigenvalue) squares the scale and loses half the mantissa,
+    # which showed up as 3e-3 reconstruction error on repeated-sigma
+    # (essential-like) matrices.
+    s = jnp.stack(
+        [
+            jnp.linalg.norm(u0, axis=-1),
+            jnp.linalg.norm(u1, axis=-1),
+            jnp.linalg.norm(u2f, axis=-1),
+        ],
+        axis=-1,
+    )
     u0 = u0 / jnp.linalg.norm(u0, axis=-1, keepdims=True).clip(1e-30)
     u1 = u1 - jnp.sum(u1 * u0, axis=-1, keepdims=True) * u0
     u1 = u1 / jnp.linalg.norm(u1, axis=-1, keepdims=True).clip(1e-30)
     u2 = jnp.cross(u0, u1)
     # Align u2 with F v2 so full-rank inputs reconstruct (for rank-2 the
     # sign is free, as in any SVD).
-    d = jnp.sum(u2 * jnp.einsum("...ij,...j->...i", F, Vd[..., :, 2]),
-                axis=-1, keepdims=True)
+    d = jnp.sum(u2 * u2f, axis=-1, keepdims=True)
     u2 = u2 * jnp.where(d < 0, -1.0, 1.0)
     U = jnp.stack([u0, u1, u2], axis=-1)
     return U, s, jnp.swapaxes(Vd, -2, -1)
