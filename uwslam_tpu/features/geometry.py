@@ -59,6 +59,17 @@ def triangulate_linear(
         # near-degenerate low-parallax points. Points at infinity make A
         # singular here; the ridge turns them into huge depths that the
         # callers' max_depth gates already reject.
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu":
+            # CPU: LAPACK homogeneous DLT (cheap there; preserves the
+            # reference semantics the CPU-mesh configs were tuned on).
+            AtA4 = jnp.einsum("mi,mj->ij", rows, rows, precision=HIGHEST)
+            _, Vh = jnp.linalg.eigh(AtA4)
+            Xh = Vh[:, 0]
+            return Xh[:3] / jnp.where(
+                jnp.abs(Xh[3]) < 1e-12, 1e-12, Xh[3]
+            )
         A3 = rows[:, :3]
         b3 = rows[:, 3]
         AtA = jnp.einsum("mi,mj->ij", A3, A3, precision=HIGHEST)

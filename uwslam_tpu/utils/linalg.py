@@ -61,6 +61,15 @@ def cholesky_solve_unrolled(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
+def _on_cpu() -> bool:
+    """CPU keeps LAPACK: its eigh/svd custom calls are cheap and exact
+    there, and the CPU-mesh configs (5-7) measured a real accuracy cost
+    from the fused replacements (loop-closure edge quality, track-graph
+    inlier sets). The fused paths exist for TPU, where EighTpu/LU custom
+    calls cost milliseconds per frame and cannot fuse."""
+    return jax.default_backend() == "cpu"
+
+
 def smallest_eigvec_spd(A: jax.Array, iters: int = 8) -> jax.Array:
     """Unit eigenvector of the smallest eigenvalue of a small symmetric
     PSD matrix (..., n, n) via 2-vector inverse subspace iteration with a
@@ -73,7 +82,11 @@ def smallest_eigvec_spd(A: jax.Array, iters: int = 8) -> jax.Array:
     DLT whose two smallest eigenvalues are both tiny (depth barely
     constrained). Tracking a 2-D subspace converges like (λ2/λ3)^k
     instead, and the final 2x2 Rayleigh-Ritz problem (closed form)
-    separates the true smallest direction inside it."""
+    separates the true smallest direction inside it. On CPU this simply
+    calls jnp.linalg.eigh (see _on_cpu)."""
+    if _on_cpu():
+        _, V = jnp.linalg.eigh(A)
+        return V[..., :, 0]
     n = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
     ridge = 1e-7 * tr + 1e-30
@@ -137,7 +150,10 @@ def sym3_eigh(A: jax.Array, sweeps: int = 6) -> tuple[jax.Array, jax.Array]:
     rotation is pure elementwise math that fuses, unlike the EighTpu
     custom call. (A closed-form Cardano+cross-product version measured
     ~1e-3 eigenvector error in f32 — enough to poison low-parallax
-    two-view geometry; Jacobi gets ~1e-7.)"""
+    two-view geometry; Jacobi gets ~1e-7.) On CPU this simply calls
+    jnp.linalg.eigh (see _on_cpu)."""
+    if _on_cpu():
+        return jnp.linalg.eigh(A)
     a00 = A[..., 0, 0]
     a01 = A[..., 0, 1]
     a02 = A[..., 0, 2]
@@ -213,7 +229,10 @@ def svd3(F: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     for the two leading columns, completed by their cross product (exact
     for the rank-2 matrices this framework decomposes — E and F — and
     correct for full-rank inputs up to the sign conventions SVD leaves
-    free anyway)."""
+    free anyway). On CPU this simply calls jnp.linalg.svd (see
+    _on_cpu)."""
+    if _on_cpu():
+        return jnp.linalg.svd(F)
     FtF = jnp.einsum("...ji,...jk->...ik", F, F, precision=HIGHEST)
     _, V = sym3_eigh(FtF)            # ascending
     Vd = V[..., ::-1]                # columns by descending singular value
